@@ -1,0 +1,225 @@
+import math
+
+import pytest
+
+from dbgphmm_tpu.graph import DiGraph
+from dbgphmm_tpu.graph.compact import compact_simple_paths
+from dbgphmm_tpu.graph.euler import euler_circuit, euler_circuit_count
+from dbgphmm_tpu.graph.k_shortest import (
+    dijkstra_path,
+    k_shortest_cycle,
+    k_shortest_simple_path,
+)
+from dbgphmm_tpu.graph.utils import bridge_edges, split_node
+
+
+def chain_graph(n):
+    g = DiGraph()
+    for _ in range(n):
+        g.add_node(None)
+    for i in range(n - 1):
+        g.add_edge(i, i + 1, i)
+    return g
+
+
+def test_digraph_basics():
+    g = DiGraph()
+    a, b, c = g.add_node("a"), g.add_node("b"), g.add_node("c")
+    e0 = g.add_edge(a, b, 1)
+    e1 = g.add_edge(b, c, 2)
+    e2 = g.add_edge(a, c, 3)
+    assert g.n_nodes() == 3 and g.n_edges() == 3
+    assert g.childs(a) == [(e0, b, 1), (e2, c, 3)]
+    assert g.parents(c) == [(e1, b, 2), (e2, a, 3)]
+    assert g.find_edge(a, c) == e2
+    assert g.find_edge(c, a) is None
+
+
+def test_remove_edges_maps():
+    g = DiGraph()
+    for _ in range(4):
+        g.add_node(None)
+    g.add_edge(0, 1, "a")
+    g.add_edge(1, 2, "b")
+    g.add_edge(2, 3, "c")
+    g2, nm, em = g.remove_edges([1])
+    assert g2.n_edges() == 2
+    # node 1,2 survive (still used by edges 0 and 2)
+    assert set(nm.keys()) == {0, 1, 2, 3}
+    assert em == {0: 0, 2: 1}
+    assert g2.edge(em[2]) == "c"
+
+
+def test_scc():
+    g = DiGraph()
+    for _ in range(5):
+        g.add_node(None)
+    # cycle 0-1-2, chain to 3, 4 isolated-ish
+    g.add_edge(0, 1, None)
+    g.add_edge(1, 2, None)
+    g.add_edge(2, 0, None)
+    g.add_edge(2, 3, None)
+    g.add_edge(3, 4, None)
+    comps = sorted([sorted(c) for c in g.strongly_connected_components()])
+    assert [0, 1, 2] in comps
+    assert [3] in comps and [4] in comps
+
+
+def test_bridge_edges():
+    g = DiGraph()
+    for _ in range(4):
+        g.add_node(None)
+    g.add_edge(0, 1, None)
+    g.add_edge(1, 0, None)
+    eb = g.add_edge(1, 2, None)
+    g.add_edge(2, 3, None)
+    g.add_edge(3, 2, None)
+    assert bridge_edges(g) == [eb]
+
+
+def test_compact_simple_paths_chain():
+    # 0->1->2->3 with fan at 0: expect single edge from 0 to 3
+    g = DiGraph()
+    for _ in range(5):
+        g.add_node(None)
+    g.add_edge(0, 1, "a")
+    g.add_edge(1, 2, "b")
+    g.add_edge(2, 3, "c")
+    g.add_edge(3, 4, "d")
+    g.add_edge(4, 0, "e")  # make it a cycle so ends are non-trivial
+    # all nodes are deg(1,1) -> whole thing is a pure cycle -> one self-loop
+    cg, nm = compact_simple_paths(g)
+    assert cg.n_nodes() == 1
+    assert cg.n_edges() == 1
+    path = cg.edge(0)
+    assert [w for _e, w in path] == ["a", "b", "c", "d", "e"]
+
+
+def test_compact_simple_paths_branch():
+    # two parallel paths 0->1->2 and 0->3->2 (diamond)
+    g = DiGraph()
+    for _ in range(4):
+        g.add_node(None)
+    g.add_edge(0, 1, "a")
+    g.add_edge(1, 2, "b")
+    g.add_edge(0, 3, "c")
+    g.add_edge(3, 2, "d")
+    g.add_edge(2, 0, "z")  # close the loop: 0 and 2 are branch nodes
+    cg, nm = compact_simple_paths(g)
+    assert cg.n_nodes() == 2
+    assert cg.n_edges() == 3
+    weights = sorted("".join(w for _e, w in cg.edge(e)) for e in range(3))
+    assert weights == ["ab", "cd", "z"]
+
+
+def test_euler_count_simple_cycle():
+    # single cycle with copy 1: exactly 1 euler circuit -> log 1 = 0
+    g = DiGraph()
+    for _ in range(3):
+        g.add_node(None)
+    g.add_edge(0, 1, None)
+    g.add_edge(1, 2, None)
+    g.add_edge(2, 0, None)
+    assert euler_circuit_count(g, [1, 1, 1]) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_euler_count_double_cycle():
+    # single cycle with copy 2 on each edge:
+    # multigraph with 2 parallel copies per position
+    g = DiGraph()
+    for _ in range(2):
+        g.add_node(None)
+    g.add_edge(0, 1, None)
+    g.add_edge(1, 0, None)
+    # For C_2 with each edge doubled: BEST gives det(L+e0e0^T) with L=[[2,-2],[-2,2]]
+    # count = log det + sum log(deg-1)! - sum log c! = log(det)+2*log(1!)-2*log(2!)
+    lap_det = (2 + 1) * 2 - 4  # = 2
+    expect = math.log(lap_det) + 2 * 0.0 - 2 * math.log(2)
+    assert euler_circuit_count(g, [2, 2]) == pytest.approx(expect, abs=1e-9)
+
+
+def test_euler_count_zero():
+    g = DiGraph()
+    g.add_node(None)
+    g.add_node(None)
+    g.add_edge(0, 1, None)
+    # no euler circuit (not strongly connected with positive edges)
+    assert euler_circuit_count(g, [0]) == float("-inf")
+
+
+def test_euler_extraction():
+    # figure-eight: two loops sharing node 0
+    g = DiGraph()
+    for _ in range(3):
+        g.add_node(None)
+    e0 = g.add_edge(0, 1, None)
+    e1 = g.add_edge(1, 0, None)
+    e2 = g.add_edge(0, 2, None)
+    e3 = g.add_edge(2, 0, None)
+    circ = euler_circuit(g, [1, 1, 1, 1], start=0)
+    assert len(circ) == 4
+    # valid circuit: consecutive edges connect
+    for i in range(4):
+        assert g.edge_targets[circ[i]] == g.edge_sources[circ[(i + 1) % 4]]
+
+
+def test_euler_extraction_multiplicity():
+    g = DiGraph()
+    g.add_node(None)
+    e0 = g.add_edge(0, 0, None)
+    circ = euler_circuit(g, [3], start=0)
+    assert circ == [e0, e0, e0]
+
+
+def test_dijkstra():
+    g = chain_graph(4)
+    cost, path = dijkstra_path(g, 0, 3, lambda e: 1)
+    assert cost == 3 and path == [0, 1, 2]
+    assert dijkstra_path(g, 3, 0, lambda e: 1) is None
+
+
+def test_k_shortest_simple_path():
+    # diamond with different costs
+    g = DiGraph()
+    for _ in range(4):
+        g.add_node(None)
+    e0 = g.add_edge(0, 1, None)
+    e1 = g.add_edge(1, 3, None)
+    e2 = g.add_edge(0, 2, None)
+    e3 = g.add_edge(2, 3, None)
+    e4 = g.add_edge(0, 3, None)
+    costs = {e0: 1, e1: 1, e2: 2, e3: 2, e4: 10}
+    paths = k_shortest_simple_path(g, 0, 3, 3, lambda e: costs[e])
+    assert paths[0] == [e0, e1]
+    assert paths[1] == [e2, e3]
+    assert paths[2] == [e4]
+
+
+def test_k_shortest_cycle():
+    g = DiGraph()
+    for _ in range(3):
+        g.add_node(None)
+    e0 = g.add_edge(0, 1, None)
+    e1 = g.add_edge(1, 0, None)
+    e2 = g.add_edge(1, 2, None)
+    e3 = g.add_edge(2, 0, None)
+    cycles = k_shortest_cycle(g, e0, 2, lambda e: 1)
+    assert [e0, e1] in cycles
+    assert [e0, e2, e3] in cycles
+
+
+def test_split_node():
+    g = DiGraph()
+    for _ in range(3):
+        g.add_node(None)
+    g.add_edge(0, 1, "in")
+    g.add_edge(1, 2, "out")
+    g2 = split_node(g, 1, "bridge")
+    # node 1 replaced by node_in(3), node_out(4)
+    assert g2.n_nodes() == 5
+    assert g2.n_edges() == 3
+    # in-edge targets node_in, out-edge sources node_out
+    assert g2.edge_targets[0] == 3
+    assert g2.edge_sources[1] == 4
+    assert g2.edge(2) == "bridge"
+    assert g2.edge_endpoints(2) == (3, 4)
