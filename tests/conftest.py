@@ -7,7 +7,7 @@ virtual 8-device mesh for sharding tests.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the ambient env may point at TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# env JAX_PLATFORMS is overridden by the ambient TPU (axon) plugin in this
+# environment; the config update is what actually forces CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
