@@ -1,0 +1,700 @@
+"""Multi-k de Bruijn graph — the central data structure of the assembler
+(ref: src/multi_dbg.rs).
+
+``MultiDbg`` holds the **full** edge-centric DBG (edge = k-mer with emission
+base + copy number; node = (k-1)-mer) and the simple-path-collapsed
+**compact** graph (edge weight = ordered list of full-edge indices).  K-mer
+strings are never stored — they are recovered by walking the graph
+(``km1mer_full``).
+
+Key operations: copy-number vectors over compact edges (flow-consistent),
+k+1 extension via the node-centric transform, purging of 0-copy edges with
+index remapping, conversion to PHMM arrays for the device kernels, Euler
+circuit extraction for assembly emission.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..graph.compact import compact_simple_paths
+from ..graph.digraph import DiGraph
+from ..graph.euler import euler_circuit, euler_circuit_count
+from ..graph.utils import bridge_edges
+from ..kmer import kmers_join
+from ..phmm.model import BASE_TO_CODE, PHMMModel, _adjacency_arrays
+from ..phmm.params import PHMMParams
+from ..prob import NEG_INF
+from ..seq.collection import NULL_BASE, SeqStyle, StyledSequence
+
+Path = List[int]  # list of edge indices in full graph
+
+
+@dataclass
+class MultiFullNode:
+    is_terminal: bool
+
+
+@dataclass
+class MultiFullEdge:
+    base: int  # emission byte (last base of k-mer); NULL_BASE for margins
+    copy_num: int
+
+    def is_null_base(self) -> bool:
+        return self.base == NULL_BASE
+
+
+@dataclass
+class MultiCompactNode:
+    is_terminal: bool
+    node_in_full: int
+
+
+@dataclass
+class MultiCompactEdge:
+    edges_in_full: List[int]
+
+
+class MultiDbg:
+    def __init__(self, k: int, full: DiGraph, compact: Optional[DiGraph] = None):
+        self.k = k
+        self.full = full
+        self.compact = (
+            compact if compact is not None else self.construct_compact_from_full(full)
+        )
+
+    # -- construction ---------------------------------------------------------
+
+    @staticmethod
+    def construct_compact_from_full(full: DiGraph) -> DiGraph:
+        """Simple-path collapse protecting the terminal node
+        (ref: multi_dbg.rs:1447-1458)."""
+        cg, node_map = compact_simple_paths(
+            full, is_target=lambda w: not w.is_terminal
+        )
+        inv = {cv: fv for fv, cv in node_map.items()}
+        return cg.map(
+            lambda v, w: MultiCompactNode(w.is_terminal, inv[v]),
+            lambda _e, path: MultiCompactEdge([e for e, _w in path]),
+        )
+
+    @staticmethod
+    def from_hashdbg(hashdbg, ignore_copy_num: bool = False) -> "MultiDbg":
+        """(ref: multi_dbg.rs:195-221)"""
+        if not ignore_copy_num:
+            assert hashdbg.is_copy_nums_consistent(), "inconsistent copy numbers"
+        from ..kmer import is_null, emission
+
+        full = hashdbg.to_graph(
+            lambda km1mer: MultiFullNode(is_null(km1mer)),
+            lambda kmer: MultiFullEdge(
+                emission(kmer), 0 if ignore_copy_num else hashdbg.get(kmer)
+            ),
+        )
+        return MultiDbg(hashdbg.k, full)
+
+    @staticmethod
+    def from_styled_seqs(k: int, seqs: Sequence[StyledSequence]) -> "MultiDbg":
+        """Build the true DBG of a genome (used for toys/tests)."""
+        from ..hashdbg import HashDbg
+
+        return MultiDbg.from_hashdbg(HashDbg.from_styled_seqs(k, seqs))
+
+    def copy(self) -> "MultiDbg":
+        full = self.full.map(
+            lambda _v, w: MultiFullNode(w.is_terminal),
+            lambda _e, w: MultiFullEdge(w.base, w.copy_num),
+        )
+        compact = self.compact.map(
+            lambda _v, w: MultiCompactNode(w.is_terminal, w.node_in_full),
+            lambda _e, w: MultiCompactEdge(list(w.edges_in_full)),
+        )
+        return MultiDbg(self.k, full, compact)
+
+    # -- sizes / accessors ----------------------------------------------------
+
+    def n_nodes_full(self) -> int:
+        return self.full.n_nodes()
+
+    def n_edges_full(self) -> int:
+        return self.full.n_edges()
+
+    def n_nodes_compact(self) -> int:
+        return self.compact.n_nodes()
+
+    def n_edges_compact(self) -> int:
+        return self.compact.n_edges()
+
+    def base(self, edge_in_full: int) -> int:
+        return self.full.edge(edge_in_full).base
+
+    def copy_num(self, edge_in_full: int) -> int:
+        return self.full.edge(edge_in_full).copy_num
+
+    def edges_in_full(self, edge_in_compact: int) -> List[int]:
+        return self.compact.edge(edge_in_compact).edges_in_full
+
+    def n_bases(self, edge_in_compact: int) -> int:
+        """# of k-mers (full edges) of a compact edge."""
+        return len(self.edges_in_full(edge_in_compact))
+
+    def terminal_node_full(self) -> Optional[int]:
+        for v, w in self.full.nodes():
+            if w.is_terminal:
+                return v
+        return None
+
+    def terminal_node_compact(self) -> Optional[int]:
+        for v, w in self.compact.nodes():
+            if w.is_terminal:
+                return v
+        return None
+
+    def node_in_compact_to_full(self, node_in_compact: int) -> int:
+        return self.compact.node(node_in_compact).node_in_full
+
+    def n_emittable_edges(self) -> int:
+        return sum(1 for _e, _s, _t, w in self.full.edges() if not w.is_null_base())
+
+    def n_ambiguous_node(self) -> int:
+        """# of nodes with in-deg > 1 and out-deg > 1 (and positive copies) in
+        full — k+1 copy numbers are not unique there (ref: multi_dbg.rs)."""
+        n = 0
+        for v in range(self.full.n_nodes()):
+            n_in = sum(
+                1 for e, _p, w in self.full.parents(v) if w.copy_num > 0
+            )
+            n_out = sum(1 for e, _c, w in self.full.childs(v) if w.copy_num > 0)
+            if n_in > 1 and n_out > 1:
+                n += 1
+        return n
+
+    # -- copy numbers (ref: multi_dbg.rs:988-1134) ----------------------------
+
+    def is_copy_nums_valid(self) -> bool:
+        for v in range(self.full.n_nodes()):
+            c_in = sum(w.copy_num for _e, _p, w in self.full.parents(v))
+            c_out = sum(w.copy_num for _e, _c, w in self.full.childs(v))
+            if c_in != c_out:
+                return False
+        return True
+
+    def genome_size(self) -> int:
+        return sum(
+            w.copy_num
+            for _e, _s, _t, w in self.full.edges()
+            if not w.is_null_base()
+        )
+
+    def max_copy_num(self) -> int:
+        return max((w.copy_num for _e, _s, _t, w in self.full.edges()), default=0)
+
+    def copy_num_of_edge_in_compact(self, edge_in_compact: int) -> int:
+        return self.copy_num(self.edges_in_full(edge_in_compact)[0])
+
+    def get_copy_nums(self) -> List[int]:
+        return [
+            self.copy_num_of_edge_in_compact(e) for e in range(self.n_edges_compact())
+        ]
+
+    def set_copy_nums(self, copy_nums: Sequence[int]) -> None:
+        assert len(copy_nums) == self.n_edges_compact()
+        for e in range(self.n_edges_compact()):
+            for ef in self.edges_in_full(e):
+                self.full.edge(ef).copy_num = int(copy_nums[e])
+        assert self.is_copy_nums_valid(), "invalid new copy_nums"
+
+    @staticmethod
+    def guess_copy_num(copy_num_ins: List[int], copy_num_outs: List[int]) -> List[List[int]]:
+        """Deterministic round-robin distribution of parent copy numbers onto
+        (in, out) pairs at a node (ref: multi_dbg.rs:1104-1133)."""
+        assert sum(copy_num_ins) == sum(copy_num_outs)
+        n_in, n_out = len(copy_num_ins), len(copy_num_outs)
+        out = [[0] * n_out for _ in range(n_in)]
+        rem_in = list(copy_num_ins)
+        rem_out = list(copy_num_outs)
+        while any(x > 0 for x in rem_in) and any(x > 0 for x in rem_out):
+            for i in range(n_in):
+                for j in range(n_out):
+                    if rem_in[i] > 0 and rem_out[j] > 0:
+                        out[i][j] += 1
+                        rem_in[i] -= 1
+                        rem_out[j] -= 1
+        return out
+
+    def copy_num_of_node(self, node_in_full: int) -> int:
+        return sum(w.copy_num for _e, _p, w in self.full.parents(node_in_full))
+
+    # -- k-mer recovery (ref: multi_dbg.rs:840-988) ---------------------------
+
+    def km1mer_full(self, node_in_full: int) -> bytes:
+        bases = bytearray()
+        node = node_in_full
+        while len(bases) < self.k - 1:
+            parents = self.full.parents(node)
+            assert parents, "no incoming edge while recovering k-1-mer"
+            e, p, w = parents[0]
+            bases.append(w.base)
+            node = p
+        bases.reverse()
+        return bytes(bases)
+
+    def kmer_full(self, edge_in_full: int) -> bytes:
+        s, _t = self.full.edge_endpoints(edge_in_full)
+        return self.km1mer_full(s) + bytes([self.base(edge_in_full)])
+
+    def km1mer_compact(self, node_in_compact: int) -> bytes:
+        return self.km1mer_full(self.node_in_compact_to_full(node_in_compact))
+
+    def kmer_compact(self, edge_in_compact: int) -> bytes:
+        s, _t = self.compact.edge_endpoints(edge_in_compact)
+        out = bytearray(self.km1mer_compact(s))
+        for ef in self.edges_in_full(edge_in_compact):
+            out.append(self.base(ef))
+        return bytes(out)
+
+    def seq_compact(self, edge_in_compact: int) -> bytes:
+        return bytes(self.base(ef) for ef in self.edges_in_full(edge_in_compact))
+
+    def to_kmer_map(self) -> Dict[bytes, int]:
+        return {self.kmer_full(e): e for e in range(self.n_edges_full())}
+
+    def to_kmer_copy_num_map(self) -> Dict[bytes, int]:
+        return {
+            self.kmer_full(e): self.copy_num(e) for e in range(self.n_edges_full())
+        }
+
+    def paths_from_styled_seqs(self, seqs) -> List[Path]:
+        """Genome -> true paths; raises KeyError listing missing k-mers
+        (ref: multi_dbg.rs:950-987)."""
+        from ..kmer import styled_sequence_to_kmers
+
+        m = self.to_kmer_map()
+        paths = []
+        missing = []
+        for s in seqs:
+            path = []
+            for kmer in styled_sequence_to_kmers(s, self.k):
+                if kmer in m:
+                    path.append(m[kmer])
+                else:
+                    missing.append(kmer)
+            paths.append(path)
+        if missing:
+            raise KmerNotFoundError(missing)
+        return paths
+
+    # -- node-centric transform & k+1 (ref: multi_dbg.rs:1136-1604) ----------
+
+    def to_node_centric_graph(
+        self,
+        to_node: Callable[[int, MultiFullEdge], object],
+        to_terminal_node: Callable[[], object],
+        to_edge: Callable[[int, int, int], object],
+        to_terminal_edge: Callable[[int], object],
+        add_terminal: bool,
+    ) -> DiGraph:
+        """Line-graph-like transform: edge of G -> node of G' (same index);
+        (in,out) edge pairs at non-terminal nodes -> edges of G'; terminal
+        node re-inserted explicitly when requested."""
+        g = DiGraph()
+        for e in range(self.n_edges_full()):
+            v = g.add_node(to_node(e, self.full.edge(e)))
+            assert v == e
+        for node in range(self.n_nodes_full()):
+            w = self.full.node(node)
+            if w.is_terminal:
+                if add_terminal:
+                    t = g.add_node(to_terminal_node())
+                    for e, _p, _w in self.full.parents(node):
+                        g.add_edge(e, t, to_terminal_edge(e))
+                    for e, _c, _w in self.full.childs(node):
+                        g.add_edge(t, e, to_terminal_edge(e))
+            else:
+                for e1, _p, _w1 in self.full.parents(node):
+                    for e2, _c, _w2 in self.full.childs(node):
+                        g.add_edge(e1, e2, to_edge(e1, e2, node))
+        return g
+
+    def guess_copy_num_of_kp1_edge(self, node: int, edge_in: int, edge_out: int) -> int:
+        parents = self.full.parents(node)
+        childs = self.full.childs(node)
+        copy_ins = [w.copy_num for _e, _p, w in parents]
+        copy_outs = [w.copy_num for _e, _c, w in childs]
+        i_in = next(i for i, (e, _p, _w) in enumerate(parents) if e == edge_in)
+        i_out = next(i for i, (e, _c, _w) in enumerate(childs) if e == edge_out)
+        return MultiDbg.guess_copy_num(copy_ins, copy_outs)[i_in][i_out]
+
+    def to_kp1_dbg(self) -> "MultiDbg":
+        """k+1 extension (ref: multi_dbg.rs:1177-1206)."""
+        full = self.to_node_centric_graph(
+            lambda _e, _w: MultiFullNode(False),
+            lambda: MultiFullNode(True),
+            lambda e_in, e_out, node: MultiFullEdge(
+                self.base(e_out), self.guess_copy_num_of_kp1_edge(node, e_in, e_out)
+            ),
+            lambda e: MultiFullEdge(
+                self.full.edge(e).base, self.full.edge(e).copy_num
+            ),
+            True,
+        )
+        return MultiDbg(self.k + 1, full)
+
+    def path_kp1_from_path_k(self, path_k: Path) -> Path:
+        """(ref: multi_dbg.rs:1248-1292)"""
+        n = len(path_k)
+        path: Path = []
+        kp1 = self  # NOTE: call on the k+1 dbg with a path of the k dbg
+        terminal = kp1.terminal_node_full()
+        first, last = path_k[0], path_k[n - 1]
+        start = kp1.full.find_edge(terminal, first) if terminal is not None else None
+        end = kp1.full.find_edge(last, terminal) if terminal is not None else None
+        if start is not None and end is not None:
+            path.append(start)
+            for i in range(n - 1):
+                e = kp1.full.find_edge(path_k[i], path_k[i + 1])
+                assert e is not None, "invalid path"
+                path.append(e)
+            path.append(end)
+        else:
+            for i in range(n):
+                e = kp1.full.find_edge(path_k[i], path_k[(i + 1) % n])
+                assert e is not None, "invalid path"
+                path.append(e)
+        return path
+
+    def hint_kp1_from_hint_k(self, nodes_k: List[List[int]]) -> List[List[int]]:
+        """Upconvert mapping node lists: node v in k-HMM (= full k-edge = k+1
+        full node) maps to all in-edges of v in the k+1 graph
+        (ref: multi_dbg.rs:1325-1334). Call on the k+1 dbg."""
+        out = []
+        for per_base in nodes_k:
+            lst: List[int] = []
+            for v in per_base:
+                for e, _p, _w in self.full.parents(v):
+                    lst.append(e)
+            out.append(lst)
+        return out
+
+    # -- purge (ref: multi_dbg.rs:1607-1792) ----------------------------------
+
+    def purge_edges(
+        self, edges_in_compact: Sequence[int]
+    ) -> Tuple["MultiDbg", Dict[int, Optional[int]], Dict[int, Optional[int]]]:
+        """Remove compact edges (and resulting bridge edges) + their full
+        edges; returns (new_dbg, full_edge_map, compact_edge_map) where maps
+        take old index -> new index or None if deleted."""
+        dead_compact = set(edges_in_compact)
+        # bridges that appear after removal: compute on the graph sans dead
+        tmp, _nm, em_tmp = self.compact.remove_edges(dead_compact)
+        inv_tmp = {new: old for old, new in em_tmp.items()}
+        for b in bridge_edges(tmp):
+            dead_compact.add(inv_tmp[b])
+
+        dead_full = set()
+        for e in dead_compact:
+            dead_full.update(self.edges_in_full(e))
+
+        new_full, _nm_full, em_full = self.full.remove_edges(dead_full)
+        new_compact_raw, _nm_c, em_compact = self.compact.remove_edges(dead_compact)
+        # rewrite edges_in_full with new indices
+        new_compact = new_compact_raw.map(
+            lambda _v, w: MultiCompactNode(w.is_terminal, w.node_in_full),
+            lambda _e, w: MultiCompactEdge([em_full[ef] for ef in w.edges_in_full]),
+        )
+        # fix node_in_full indices
+        for v in range(new_compact.n_nodes()):
+            w = new_compact.node(v)
+            # recover via first in/out compact edge's full endpoint
+            if new_compact.out_edges(v):
+                e0 = new_compact.out_edges(v)[0]
+                ef0 = new_compact.edge(e0).edges_in_full[0]
+                w.node_in_full = new_full.edge_sources[ef0]
+            elif new_compact.in_edges(v):
+                e0 = new_compact.in_edges(v)[0]
+                ef0 = new_compact.edge(e0).edges_in_full[-1]
+                w.node_in_full = new_full.edge_targets[ef0]
+
+        full_map = {e: em_full.get(e) for e in range(self.n_edges_full())}
+        compact_map = {e: em_compact.get(e) for e in range(self.n_edges_compact())}
+        return MultiDbg(self.k, new_full, new_compact), full_map, compact_map
+
+    def purge_and_extend(
+        self,
+        edges_in_compact_to_purge: Sequence[int],
+        k_max: int,
+        stop_when_ambiguous: bool = True,
+        paths: Optional[List[Path]] = None,
+        mappings: Optional[List[List[List[int]]]] = None,
+    ):
+        """(ref: multi_dbg.rs:1685-1746)"""
+        dbg, full_map, _cm = self.purge_edges(edges_in_compact_to_purge)
+        if paths is not None:
+            new_paths = []
+            for p in paths:
+                q = [full_map[e] for e in p]
+                new_paths.append(None if any(x is None for x in q) else q)
+            paths = new_paths
+        if mappings is not None:
+            mappings = [
+                [
+                    [full_map[v] for v in per_base if full_map[v] is not None]
+                    for per_base in mp
+                ]
+                for mp in mappings
+            ]
+        while dbg.k < k_max:
+            assert dbg.is_copy_nums_valid()
+            was_ambiguous = dbg.n_ambiguous_node() > 0
+            kp1 = dbg.to_kp1_dbg()
+            assert kp1.is_copy_nums_valid()
+            if paths is not None:
+                paths = [
+                    kp1.path_kp1_from_path_k(p) if p is not None else None
+                    for p in paths
+                ]
+            if mappings is not None:
+                mappings = [kp1.hint_kp1_from_hint_k(mp) for mp in mappings]
+            dbg = kp1
+            if stop_when_ambiguous and was_ambiguous:
+                break
+        return dbg, paths, mappings
+
+    # -- PHMM conversion (ref: multi_dbg.rs:1363-1438) ------------------------
+
+    def to_phmm(self, params: PHMMParams, mode: str = "normal") -> PHMMModel:
+        """PHMM over full edges: node of HMM = edge (k-mer) of full graph;
+        transitions through non-terminal (k-1)-mer nodes only (the terminal
+        breaks sequences, add_terminal=False).  ``mode`` in
+        {"normal", "uniform", "non_zero"} (ref: seq_graph.rs:160-273).
+
+        Sets ``n_warmup = k`` as the reference does (multi_dbg.rs:1395).
+        """
+        n = self.n_edges_full()
+        emission = np.empty(n, dtype=np.uint8)
+        copy = np.zeros(n, dtype=np.int64)
+        for e in range(n):
+            w = self.full.edge(e)
+            emission[e] = BASE_TO_CODE[w.base]
+            copy[e] = w.copy_num
+        emittable = emission < 4
+        min_copy = 1 if mode == "non_zero" else 0
+        eff = np.where(emittable, np.maximum(copy, min_copy), 0)
+
+        init_logp = np.full(n, NEG_INF)
+        if mode == "uniform":
+            n_emit = int(emittable.sum())
+            if n_emit:
+                init_logp[emittable] = -np.log(n_emit)
+        else:
+            total = eff.sum()
+            pos = emittable & (eff > 0)
+            if total > 0:
+                init_logp[pos] = np.log(eff[pos]) - np.log(total)
+
+        # adjacency of the HMM: for each non-terminal full node v, each
+        # (in-edge e1, out-edge e2) pair is an HMM transition e1 -> e2
+        max_deg = 2
+        for v in range(self.n_nodes_full()):
+            if not self.full.node(v).is_terminal:
+                max_deg = max(max_deg, self.full.in_degree(v), self.full.out_degree(v))
+        parent_idx = np.zeros((n, max_deg), dtype=np.int32)
+        parent_logt = np.full((n, max_deg), NEG_INF)
+        child_idx = np.zeros((n, max_deg), dtype=np.int32)
+        child_logt = np.full((n, max_deg), NEG_INF)
+
+        for v in range(self.n_nodes_full()):
+            if self.full.node(v).is_terminal:
+                continue
+            ins = self.full.parents(v)
+            outs = self.full.childs(v)
+            if mode == "uniform":
+                n_emit_childs = sum(1 for e2, _c, _w in outs if emittable[e2])
+                logt_of = lambda e2: (
+                    -np.log(n_emit_childs)
+                    if emittable[e2] and n_emit_childs > 0
+                    else NEG_INF
+                )
+            else:
+                total_child = sum(int(eff[e2]) for e2, _c, _w in outs if emittable[e2])
+                logt_of = lambda e2: (
+                    np.log(eff[e2]) - np.log(total_child)
+                    if emittable[e2] and total_child > 0 and eff[e2] > 0
+                    else NEG_INF
+                )
+            for e1, _p, _w1 in ins:
+                for j2, (e2, _c, _w2) in enumerate(outs):
+                    child_idx[e1, j2] = e2
+                    child_logt[e1, j2] = logt_of(e2)
+            for e2, _c, _w2 in outs:
+                lt = logt_of(e2)
+                for j1, (e1, _p, _w1) in enumerate(ins):
+                    parent_idx[e2, j1] = e1
+                    parent_logt[e2, j1] = lt
+
+        import dataclasses
+
+        p2 = dataclasses.replace(
+            params,
+            p_mismatch=params.p_mismatch,
+            p_gap_open=params.p_gap_open,
+            p_gap_ext=params.p_gap_ext,
+            p_end=params.p_end,
+            n_warmup=self.k,
+        )
+        return PHMMModel(
+            params=p2,
+            emission=emission,
+            init_logp=init_logp,
+            parent_idx=parent_idx,
+            parent_logt=parent_logt,
+            child_idx=child_idx,
+            child_logt=child_logt,
+        )
+
+    # -- euler output (ref: multi_dbg.rs:560-690) -----------------------------
+
+    def get_euler_circuit_compact(self) -> List[int]:
+        """Single Euler circuit over compact edges respecting copy numbers,
+        starting from the terminal node."""
+        terminal = self.terminal_node_compact()
+        assert terminal is not None, "no terminal node"
+        copy_nums = self.get_copy_nums()
+        # deterministic child order: by first base of the edge seq
+        prio = {
+            e: self.base(self.edges_in_full(e)[0])
+            for e in range(self.n_edges_compact())
+        }
+        return euler_circuit(self.compact, copy_nums, terminal, child_priority=prio)
+
+    def get_linear_haplotype_seqs(self) -> List[Tuple[StyledSequence, List[int]]]:
+        terminal = self.terminal_node_compact()
+        assert terminal is not None
+        ret = []
+        seq = bytearray()
+        cycle: List[int] = []
+        for edge in self.get_euler_circuit_compact():
+            seq.extend(self.seq_compact(edge))
+            cycle.append(edge)
+            _s, t = self.compact.edge_endpoints(edge)
+            if t == terminal:
+                trimmed = bytes(b for b in seq if b != NULL_BASE)
+                ret.append((StyledSequence.linear(trimmed), cycle))
+                seq = bytearray()
+                cycle = []
+        return ret
+
+    def to_fasta_linear(self, path) -> None:
+        from ..seq.io import write_fasta
+
+        recs = []
+        for seq, cycle in self.get_linear_haplotype_seqs():
+            name = ",".join(str(e) for e in cycle)
+            recs.append((name, None, seq.seq))
+        write_fasta(path, recs)
+
+    def get_euler_circuits_full(self) -> List[Path]:
+        """All circuits of the full graph respecting copy numbers
+        (ref: multi_dbg.rs:565-620); used for to_styled_seqs."""
+        remaining = [self.copy_num(e) for e in range(self.n_edges_full())]
+        terminal = self.terminal_node_full()
+        paths = []
+
+        def node_remaining(v):
+            return sum(remaining[e] for e, _c, _w in self.full.childs(v))
+
+        def pick_node():
+            if terminal is not None and node_remaining(terminal) > 0:
+                return terminal
+            for v in range(self.n_nodes_full()):
+                if node_remaining(v) > 0:
+                    return v
+            return None
+
+        def pick_child(v):
+            best = None
+            for e, c, w in sorted(self.full.childs(v), key=lambda x: x[2].base):
+                if remaining[e] > 0:
+                    return e, c
+            return None
+
+        while True:
+            start = pick_node()
+            if start is None:
+                break
+            path = []
+            node = start
+            while True:
+                pc = pick_child(node)
+                if pc is None:
+                    break
+                e, child = pc
+                path.append(e)
+                remaining[e] -= 1
+                node = child
+                if node == start:
+                    break
+            assert node == start, "found path was not an euler circuit"
+            paths.append(path)
+        return paths
+
+    def to_styled_seqs(self) -> List[StyledSequence]:
+        """Recover genome-like styled sequences from copy numbers."""
+        terminal = self.terminal_node_full()
+        out = []
+        for path in self.get_euler_circuits_full():
+            bases = bytes(self.base(e) for e in path)
+            passes_terminal = terminal is not None and any(
+                self.full.edge_targets[e] == terminal for e in path
+            )
+            if passes_terminal:
+                # split at terminal positions into linear haplotypes
+                seq = bytearray()
+                for e in path:
+                    seq.append(self.base(e))
+                    if self.full.edge_targets[e] == terminal:
+                        trimmed = bytes(b for b in seq if b != NULL_BASE)
+                        if trimmed:
+                            out.append(StyledSequence.linear(trimmed))
+                        seq = bytearray()
+                trimmed = bytes(b for b in seq if b != NULL_BASE)
+                if trimmed:
+                    out.append(StyledSequence.linear(trimmed))
+            else:
+                out.append(StyledSequence.circular(bases))
+        return out
+
+    # -- scoring helpers ------------------------------------------------------
+
+    def n_euler_circuits_log(self) -> float:
+        """log #Eulerian circuits of the compact multigraph
+        (ref: multi_dbg.rs:831 n_euler_circuits)."""
+        return euler_circuit_count(self.compact, self.get_copy_nums())
+
+    # -- equality -------------------------------------------------------------
+
+    def is_equivalent(self, other: "MultiDbg") -> bool:
+        return (
+            self.k == other.k
+            and self.n_nodes_full() == other.n_nodes_full()
+            and self.n_edges_full() == other.n_edges_full()
+            and self.n_nodes_compact() == other.n_nodes_compact()
+            and self.n_edges_compact() == other.n_edges_compact()
+            and self.genome_size() == other.genome_size()
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"MultiDbg(k={self.k}, full={self.n_nodes_full()}n/{self.n_edges_full()}e, "
+            f"compact={self.n_nodes_compact()}n/{self.n_edges_compact()}e, "
+            f"genome_size={self.genome_size()})"
+        )
+
+
+class KmerNotFoundError(Exception):
+    def __init__(self, kmers):
+        self.kmers = kmers
+        super().__init__(f"{len(kmers)} k-mers not found in DBG")

@@ -1,0 +1,228 @@
+"""MultiDbg core tests, modeled on the reference's toy-graph goldens
+(ref: src/multi_dbg.rs:1808-2318, src/multi_dbg/toy.rs)."""
+
+import numpy as np
+import pytest
+
+from dbgphmm_tpu.hashdbg import HashDbg
+from dbgphmm_tpu.multi_dbg import KmerNotFoundError, MultiDbg
+from dbgphmm_tpu.seq.collection import StyledSequence
+
+
+def linear_dbg(seq=b"GATCC", k=4):
+    return MultiDbg.from_styled_seqs(k, [StyledSequence.linear(seq)])
+
+
+def circular_dbg(seq=b"GATCC", k=4):
+    return MultiDbg.from_styled_seqs(k, [StyledSequence.circular(seq)])
+
+
+def test_linear_structure():
+    dbg = linear_dbg()
+    # linear L-base seq at k: L+k-1 kmers (with margins), copy num 1 each
+    # nodes: L+k-1 (k-1)-mers? full edges = L + (k-1) margins * 2 ... count:
+    # kmers of "GATCC" k=4 linear: 3 prefix margins + 2 body + 3 suffix = 8
+    assert dbg.n_edges_full() == 8
+    assert dbg.genome_size() == 5
+    assert dbg.is_copy_nums_valid()
+    # compact: single cycle through terminal -> 1 node(terminal), 1 self loop
+    assert dbg.n_edges_compact() == 1
+    assert dbg.terminal_node_compact() is not None
+
+
+def test_circular_structure():
+    dbg = circular_dbg()
+    # circular: exactly L kmers, no terminal
+    assert dbg.n_edges_full() == 5
+    assert dbg.genome_size() == 5
+    assert dbg.terminal_node_full() is None
+    assert dbg.n_edges_compact() == 1
+
+
+def test_kmer_recovery():
+    dbg = linear_dbg(b"GATCC", 4)
+    kmers = dbg.to_kmer_copy_num_map()
+    assert kmers[b"GATC"] == 1
+    assert kmers[b"nnnG"] == 1
+    assert kmers[b"Cnnn"] == 1
+    assert len(kmers) == 8
+    # matches genome kmers exactly
+    from dbgphmm_tpu.seq.genome import Genome
+
+    g = Genome([StyledSequence.linear(b"GATCC")])
+    assert kmers == g.to_kmers(4)
+
+
+def test_paths_from_styled_seqs():
+    dbg = linear_dbg(b"GATCC", 4)
+    paths = dbg.paths_from_styled_seqs([StyledSequence.linear(b"GATCC")])
+    assert len(paths) == 1
+    assert len(paths[0]) == 8
+    # spelling the path gives the kmers in order
+    spelled = [dbg.kmer_full(e) for e in paths[0]]
+    assert spelled[0] == b"nnnG"
+    assert spelled[-1] == b"Cnnn"
+    with pytest.raises(KmerNotFoundError):
+        dbg.paths_from_styled_seqs([StyledSequence.linear(b"AAAAA")])
+
+
+def test_kp1_extension_linear():
+    dbg = linear_dbg(b"GATCC", 4)
+    dbg5 = dbg.to_kp1_dbg()
+    assert dbg5.k == 5
+    assert dbg5.is_copy_nums_valid()
+    assert dbg5.genome_size() == 5
+    # k+1 kmers match genome's 5-mers
+    from dbgphmm_tpu.seq.genome import Genome
+
+    g = Genome([StyledSequence.linear(b"GATCC")])
+    assert dbg5.to_kmer_copy_num_map() == g.to_kmers(5)
+
+
+def test_kp1_extension_repeat():
+    # diploid-ish repeat: unit repeated, creates ambiguity
+    seq = b"ACGTTACGTTACGTT"
+    dbg = MultiDbg.from_styled_seqs(4, [StyledSequence.linear(seq)])
+    from dbgphmm_tpu.seq.genome import Genome
+
+    for k in (5, 6, 7):
+        dbg = dbg.to_kp1_dbg()
+        assert dbg.is_copy_nums_valid()
+        assert dbg.genome_size() == len(seq)
+        g = Genome([StyledSequence.linear(seq)])
+        # all true k-mers are present; extension may add 0-copy candidate
+        # k-mers at ambiguous nodes (all (in,out) pairs are materialized,
+        # ref: to_node_centric_graph); positive-copy support stays within the
+        # true set's totals
+        ours = dbg.to_kmer_copy_num_map()
+        true = g.to_kmers(k)
+        assert set(true) <= set(ours)
+        extra = set(ours) - set(true)
+        # spurious pairs may get copies at ambiguous nodes, but totals match
+        total_ours = sum(ours.values())
+        total_true = sum(true.values())
+        assert total_ours == total_true
+
+
+def test_copy_nums_get_set():
+    dbg = linear_dbg(b"GATCC", 4)
+    cn = dbg.get_copy_nums()
+    assert cn == [1]
+    dbg.set_copy_nums([2])
+    assert dbg.genome_size() == 10
+    assert dbg.is_copy_nums_valid()
+    dbg.set_copy_nums(cn)
+
+
+def test_guess_copy_num_table():
+    # ref: multi_dbg.rs:1841-1861 guessing tables
+    t = MultiDbg.guess_copy_num([2, 1], [2, 1])
+    assert sum(sum(r) for r in t) == 3
+    assert t[0][0] >= 1
+    t2 = MultiDbg.guess_copy_num([4], [2, 2])
+    assert t2 == [[2, 2]]
+    t3 = MultiDbg.guess_copy_num([0, 3], [1, 2])
+    assert t3[0] == [0, 0]
+    assert t3[1] == [1, 2] or sum(t3[1]) == 3
+
+
+def test_euler_linear_haplotypes():
+    dbg = linear_dbg(b"GATCC", 4)
+    seqs = dbg.get_linear_haplotype_seqs()
+    assert len(seqs) == 1
+    assert seqs[0][0].seq == b"GATCC"
+
+
+def test_euler_diploid():
+    g = [StyledSequence.linear(b"GATCCAC"), StyledSequence.linear(b"GATTCAC")]
+    dbg = MultiDbg.from_styled_seqs(5, g)
+    seqs = dbg.get_linear_haplotype_seqs()
+    assert len(seqs) == 2
+    got = sorted(s.seq for s, _c in seqs)
+    assert got == [b"GATCCAC", b"GATTCAC"]
+
+
+def test_to_styled_seqs_circular():
+    dbg = circular_dbg(b"GATCC", 4)
+    seqs = dbg.to_styled_seqs()
+    assert len(seqs) == 1
+    assert seqs[0].style.value == "C"
+    # rotation of the original
+    s = seqs[0].seq
+    assert len(s) == 5
+    assert s in b"GATCCGATCC"
+
+
+def test_purge_edges():
+    # diploid with a SNV bubble; purge one branch
+    g = [StyledSequence.linear(b"GATCCAC"), StyledSequence.linear(b"GATTCAC")]
+    dbg = MultiDbg.from_styled_seqs(5, g)
+    # find a compact edge with unique kmers of hap2 (contains 'GATTC')
+    target = None
+    for e in range(dbg.n_edges_compact()):
+        if b"GATTC" in dbg.kmer_compact(e):
+            target = e
+            break
+    assert target is not None
+    dbg2, full_map, compact_map = dbg.purge_edges([target])
+    assert dbg2.n_edges_compact() < dbg.n_edges_compact()
+    assert compact_map[target] is None
+    # remaining graph still spells hap1's kmers
+    kmers2 = set(dbg2.to_kmer_copy_num_map())
+    assert b"GATCC" in kmers2
+    assert b"GATTC" not in kmers2
+
+
+def test_purge_and_extend():
+    g = [StyledSequence.linear(b"GATCCACGGAT")]
+    dbg = MultiDbg.from_styled_seqs(4, g)
+    paths = dbg.paths_from_styled_seqs(g)
+    dbg2, paths2, _m = dbg.purge_and_extend(
+        [], k_max=8, stop_when_ambiguous=False, paths=paths
+    )
+    assert dbg2.k == 8
+    assert dbg2.genome_size() == 11
+    # upconverted path is valid and spells the same sequence
+    assert paths2 is not None and paths2[0] is not None
+    from dbgphmm_tpu.seq.genome import Genome
+
+    spelled = [dbg2.kmer_full(e) for e in paths2[0]]
+    genome_kmers = list(
+        Genome(g).to_kmers(8).keys()
+    )
+    assert set(spelled) == set(genome_kmers)
+
+
+def test_to_phmm_conversion():
+    dbg = linear_dbg(b"GATCC", 4)
+    params_model = dbg.to_phmm(__import__("dbgphmm_tpu.phmm", fromlist=["PHMMParams"]).PHMMParams.default())
+    assert params_model.n_nodes == dbg.n_edges_full()
+    assert params_model.params.n_warmup == 4
+    # emittable nodes have init prob summing to 1
+    lp = params_model.init_logp
+    total = np.exp(lp[np.isfinite(lp)]).sum()
+    assert total == pytest.approx(1.0)
+
+
+def test_phmm_scoring_of_true_read():
+    """Full slice: DBG -> PHMM -> device kernel scores the exact genome read
+    higher than a mutated one."""
+    import jax.numpy as jnp
+
+    from dbgphmm_tpu.ops import forward_scores, pad_reads, to_device
+    from dbgphmm_tpu.phmm import PHMMParams
+
+    seq = b"GATCCACGGATTACG"
+    dbg = MultiDbg.from_styled_seqs(5, [StyledSequence.linear(seq)])
+    model = dbg.to_phmm(PHMMParams.uniform(0.01))
+    dm = to_device(model, dtype=jnp.float64)
+    sub = b"G" if seq[7:8] != b"G" else b"C"
+    codes, lens = pad_reads([seq, seq[:7] + sub + seq[8:]])
+    s = forward_scores(dm, jnp.asarray(codes), jnp.asarray(lens), renorm=False)
+    assert float(s[0]) > float(s[1])
+
+
+def test_n_euler_circuits_log():
+    dbg = linear_dbg(b"GATCC", 4)
+    # single linear haplotype: exactly 1 euler circuit
+    assert dbg.n_euler_circuits_log() == pytest.approx(0.0, abs=1e-9)
