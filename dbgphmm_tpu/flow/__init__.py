@@ -14,6 +14,7 @@ from .residue import (  # noqa: F401
     enumerate_neighboring_flows,
     find_neighboring_flow_by_edge_change,
     flow_to_residue_convex,
+    is_edge_simple,
     residue_graph_cycle_to_flow,
     update_cycle_from_str,
     update_cycle_to_str,

@@ -1,0 +1,472 @@
+"""Bayesian posterior sampling over copy-number assignments
+(ref: src/multi_dbg/posterior.rs).
+
+Score of an assignment X:
+``P(X|R) ∝ P(R|X) · P(G) · #EulerCircuits(X)``
+(ref: posterior.rs:199-206) where
+
+* P(R|X): read likelihoods from the device PHMM kernel, candidate-batched
+* P(G): Normal prior on genome size
+* #EC: BEST-theorem count on the compact multigraph
+
+Inference (``infer_posterior_by_extension``, ref: posterior.rs:698-826):
+per k, greedy hill-climb over neighbor assignments (rescue cycles during
+extension; full neighbor sets at the final k), purge high-P(X=0) edges,
+extend to k+1, regenerate mappings, re-approximate copy numbers from mapping
+frequencies.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.batch import candidate_log_likelihoods
+from ..ops.forward import node_freqs_and_mappings, pad_reads, to_device
+from ..phmm.params import PHMMParams
+from ..prob import NEG_INF, ladd, normal_bin_logp
+from . import MultiDbg
+from .draft import min_squared_error_copy_nums_from_freqs
+from .neighbors import (
+    NeighborConfig,
+    UpdateInfo,
+    apply_update_cycle,
+    is_independent_update,
+    to_neighbor_copy_nums_and_infos,
+    to_rescue_neighbors,
+)
+
+
+# -- mappings -----------------------------------------------------------------
+
+
+@dataclass
+class Mappings:
+    """Per-read, per-base candidate PHMM nodes (= full-DBG edges) with log
+    probs (ref: src/hmmv2/hint.rs Mapping/Mappings).
+
+    ``nodes[r]`` is int32 [L_r, A] (-1 padding); ``logps[r]`` matches.
+    """
+
+    nodes: List[np.ndarray]
+    logps: List[np.ndarray]
+
+    def n_reads(self) -> int:
+        return len(self.nodes)
+
+    def to_node_freqs(self, n_nodes: int) -> np.ndarray:
+        """Expected usage per node, linear space (ref: hint.rs:161-171)."""
+        freqs = np.zeros(n_nodes)
+        for nodes, logps in zip(self.nodes, self.logps):
+            valid = nodes >= 0
+            np.add.at(freqs, nodes[valid], np.exp(logps[valid]))
+        return freqs
+
+    def as_lists(self):
+        out = []
+        for nodes, logps in zip(self.nodes, self.logps):
+            read = []
+            for j in range(nodes.shape[0]):
+                valid = nodes[j] >= 0
+                read.append(list(zip(nodes[j][valid].tolist(),
+                                     np.exp(logps[j][valid]).tolist())))
+            out.append(read)
+        return out
+
+
+def generate_mappings(
+    dbg: MultiDbg,
+    params: PHMMParams,
+    reads,
+    n_active: int = 40,
+    dtype=None,
+) -> Mappings:
+    """Posterior state decode on the non-zero PHMM -> per-base top-k nodes
+    (ref: posterior.rs:609-637 generate_mappings; hint.rs:193-220)."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float64
+    model = dbg.to_phmm(params, mode="non_zero")
+    dm = to_device(model, dtype=dtype)
+    codes, lens = pad_reads(list(reads))
+    _logp, _freqs, map_nodes, map_logp = node_freqs_and_mappings(
+        dm, jnp.asarray(codes), jnp.asarray(lens), renorm=True, n_active=n_active
+    )
+    mn = np.asarray(map_nodes)
+    ml = np.asarray(map_logp)
+    nodes, logps = [], []
+    for i, L in enumerate(lens):
+        nodes.append(mn[i, :L].copy())
+        logps.append(ml[i, :L].copy())
+    return Mappings(nodes, logps)
+
+
+# -- score --------------------------------------------------------------------
+
+
+@dataclass
+class Score:
+    """(ref: posterior.rs:170-206). All probabilities in log space."""
+
+    likelihood: float
+    prior: float
+    genome_size: int
+    n_euler_circuits: float
+    time_likelihood: float = 0.0
+    time_euler: float = 0.0
+
+    def p(self) -> float:
+        return self.likelihood + self.prior + self.n_euler_circuits
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__)
+
+    @staticmethod
+    def from_json(s: str) -> "Score":
+        return Score(**json.loads(s))
+
+
+@dataclass
+class PosteriorSample:
+    copy_nums: List[int]
+    score: Score
+    infos: List[UpdateInfo] = field(default_factory=list)
+
+    def to_infos_string(self) -> str:
+        return "[" + ",".join(str(i) for i in self.infos) + "]"
+
+
+class Posterior:
+    """(ref: posterior.rs:31-161)"""
+
+    def __init__(self):
+        self.samples: List[PosteriorSample] = []
+        self.p: float = NEG_INF
+        self._seen = {}
+
+    def add(self, sample: PosteriorSample) -> None:
+        key = tuple(sample.copy_nums)
+        if key not in self._seen:
+            self._seen[key] = sample
+            self.p = ladd(self.p, sample.score.p())
+            self.samples.append(sample)
+
+    def contains(self, copy_nums: Sequence[int]) -> bool:
+        return tuple(copy_nums) in self._seen
+
+    def find(self, copy_nums: Sequence[int]) -> Optional[PosteriorSample]:
+        return self._seen.get(tuple(copy_nums))
+
+    def max_sample(self) -> PosteriorSample:
+        return max(self.samples, key=lambda s: s.score.p())
+
+    def max_copy_nums(self) -> List[int]:
+        return self.max_sample().copy_nums
+
+    def p_edge(self, edge: int):
+        """Posterior distribution of copy number of a compact edge:
+        list of (x, log prob) normalized (ref: posterior.rs:146-161)."""
+        dist = {}
+        for s in self.samples:
+            x = s.copy_nums[edge]
+            lp = s.score.p() - self.p
+            dist[x] = ladd(dist.get(x, NEG_INF), lp)
+        return dist
+
+    def p_edge_x(self, edge: int, x: int) -> float:
+        return self.p_edge(edge).get(x, NEG_INF)
+
+
+# -- scoring ------------------------------------------------------------------
+
+
+def to_prior(dbg: MultiDbg, genome_size_expected: int, genome_size_sigma: int) -> float:
+    """(ref: posterior.rs:230-241)"""
+    return normal_bin_logp(
+        dbg.genome_size(), float(genome_size_expected), float(genome_size_sigma)
+    )
+
+
+def _phmm_models_for_candidates(
+    dbg: MultiDbg, params: PHMMParams, candidates: List[List[int]]
+):
+    models = []
+    work = dbg.copy()
+    for cn in candidates:
+        work.set_copy_nums(cn)
+        models.append(work.to_phmm(params))
+    return models
+
+
+def score_candidates(
+    dbg: MultiDbg,
+    params: PHMMParams,
+    reads,
+    candidates: List[List[int]],
+    genome_size_expected: int,
+    genome_size_sigma: int,
+    codes=None,
+    lens=None,
+    dtype=None,
+) -> List[Score]:
+    """Evaluate Score for a batch of copy-number candidates: likelihoods on
+    device (one vmapped launch), prior + Euler count on host."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float64
+    if codes is None:
+        codes, lens = pad_reads(list(reads))
+
+    t0 = time.time()
+    models = _phmm_models_for_candidates(dbg, params, candidates)
+    lls = candidate_log_likelihoods(models, codes, lens, dtype=dtype)
+    t_like = time.time() - t0
+
+    scores = []
+    work = dbg.copy()
+    for cn, ll in zip(candidates, lls):
+        t1 = time.time()
+        work.set_copy_nums(cn)
+        n_ec = work.n_euler_circuits_log()
+        t_euler = time.time() - t1
+        scores.append(
+            Score(
+                likelihood=float(ll),
+                prior=to_prior(work, genome_size_expected, genome_size_sigma),
+                genome_size=work.genome_size(),
+                n_euler_circuits=n_ec,
+                time_likelihood=t_like / len(candidates),
+                time_euler=t_euler,
+            )
+        )
+    return scores
+
+
+# -- greedy posterior sampling (ref: posterior.rs:314-600) --------------------
+
+
+def sample_posterior(
+    dbg: MultiDbg,
+    params: PHMMParams,
+    reads,
+    mappings: Optional[Mappings],
+    genome_size_expected: int,
+    genome_size_sigma: int,
+    neighbor_config: Optional[NeighborConfig] = None,
+    max_iter: int = 100,
+    rescue_only: bool = True,
+    dtype=None,
+    verbose: bool = False,
+) -> Posterior:
+    if neighbor_config is None:
+        neighbor_config = NeighborConfig()
+    log = (lambda *a: print("[posterior]", *a)) if verbose else (lambda *a: None)
+
+    post = Posterior()
+    copy_nums = dbg.get_copy_nums()
+    infos: List[UpdateInfo] = []
+    work = dbg.copy()
+    codes, lens = pad_reads(list(reads))
+    if mappings is not None:
+        freqs = mappings.to_node_freqs(dbg.n_edges_full())
+    else:
+        freqs = np.ones(dbg.n_edges_full())
+    coverage = sum(len(r) for r in reads) / genome_size_expected
+
+    def evaluate_batch(cands_infos, infos_init):
+        new = [
+            (cn, info)
+            for cn, info in cands_infos
+            if not post.contains(cn)
+        ]
+        # dedup within batch
+        seen = set()
+        uniq = []
+        for cn, info in new:
+            key = tuple(cn)
+            if key not in seen:
+                seen.add(key)
+                uniq.append((cn, info))
+        if not uniq:
+            return
+        scores = score_candidates(
+            work, params, reads, [cn for cn, _i in uniq],
+            genome_size_expected, genome_size_sigma, codes, lens, dtype,
+        )
+        for (cn, info), sc in zip(uniq, scores):
+            post.add(PosteriorSample(cn, sc, infos_init + [info]))
+
+    # initial score
+    init_scores = score_candidates(
+        work, params, reads, [copy_nums], genome_size_expected,
+        genome_size_sigma, codes, lens, dtype,
+    )
+    post.add(PosteriorSample(copy_nums, init_scores[0], []))
+
+    n_iter = 0
+    while n_iter < max_iter:
+        work.set_copy_nums(copy_nums)
+        rescue = to_rescue_neighbors(work, freqs, coverage, 5, 20, True, 4, True)
+        log(f"iter {n_iter}: {len(rescue)} rescue neighbors")
+        if rescue_only:
+            sets = [rescue]
+        else:
+            partial = to_neighbor_copy_nums_and_infos(
+                work,
+                NeighborConfig(
+                    max_cycle_size=5, max_flip=2, use_long_cycles=True,
+                    ignore_cycles_passing_terminal=True, use_reducers=False,
+                ),
+            )
+            full = to_neighbor_copy_nums_and_infos(work, neighbor_config)
+            sets = [rescue, partial, full]
+
+        moved = False
+        for i, cands in enumerate(sets):
+            if not cands:
+                continue
+            evaluate_batch(cands, infos)
+            # multi-move in rescue_only mode (ref: posterior.rs:532-590)
+            if rescue_only and cands:
+                current_score = post.find(copy_nums).score
+                ranked = sorted(
+                    (c for c in cands if post.contains(c[0])),
+                    key=lambda c: post.find(c[0]).score.p(),
+                    reverse=True,
+                )
+                cur = list(copy_nums)
+                accepted = []
+                for cn, info in ranked:
+                    sc = post.find(cn).score
+                    if sc.p() <= current_score.p():
+                        break
+                    cyc = info.cycle()
+                    if is_independent_update(accepted, cyc):
+                        apply_update_cycle(cur, cyc)
+                        accepted.append(cyc)
+                if accepted and not post.contains(cur):
+                    mm_info = UpdateInfo(accepted, "multi_move")
+                    scores = score_candidates(
+                        work, params, reads, [cur], genome_size_expected,
+                        genome_size_sigma, codes, lens, dtype,
+                    )
+                    post.add(PosteriorSample(cur, scores[0], infos + [mm_info]))
+
+            best = post.max_sample()
+            if best.copy_nums != copy_nums:
+                copy_nums = best.copy_nums
+                infos = best.infos
+                n_iter += 1
+                moved = True
+                log(f"moved to p={best.score.p():.3f} via {best.to_infos_string()}")
+                break
+        if not moved:
+            log(f"iter {n_iter}: local optimum")
+            break
+    return post
+
+
+def purge_and_extend_with_posterior(
+    dbg: MultiDbg,
+    posterior: Posterior,
+    k_max: int,
+    p0: float,
+    paths=None,
+    mappings: Optional[Mappings] = None,
+):
+    """(ref: posterior.rs:644-695). ``p0`` is linear probability."""
+    work = dbg.copy()
+    work.set_copy_nums(posterior.max_copy_nums())
+    edges_purge = []
+    lp0 = np.log(p0) if p0 > 0 else NEG_INF
+    for e in range(work.n_edges_compact()):
+        if (
+            work.copy_num_of_edge_in_compact(e) == 0
+            and posterior.p_edge_x(e, 0) > lp0
+        ):
+            edges_purge.append(e)
+    maps_as_lists = None
+    if mappings is not None:
+        maps_as_lists = [
+            [nodes_row[nodes_row >= 0].tolist() for nodes_row in mp]
+            for mp in mappings.nodes
+        ]
+    dbg2, paths2, maps2 = work.purge_and_extend(
+        edges_purge, k_max, True, paths, maps_as_lists
+    )
+    return dbg2, paths2, maps2
+
+
+# -- top-level loop (ref: posterior.rs:698-826) --------------------------------
+
+
+def infer_posterior_by_extension(
+    k_max: int,
+    dbg_init: MultiDbg,
+    param_infer: PHMMParams,
+    param_error: PHMMParams,
+    reads,
+    genome_size_expected: int,
+    genome_size_sigma: int,
+    neighbor_config: Optional[NeighborConfig] = None,
+    max_iter: int = 100,
+    p0: float = 0.8,
+    on_iter: Optional[Callable] = None,
+    paths=None,
+    mappings: Optional[Mappings] = None,
+    n_haplotypes: Optional[int] = None,
+    dtype=None,
+    verbose: bool = False,
+):
+    log = (lambda *a: print("[infer]", *a)) if verbose else (lambda *a: None)
+    dbg = dbg_init.copy()
+    if mappings is None:
+        mappings = generate_mappings(dbg, param_error, reads, dtype=dtype)
+    coverage = sum(len(r) for r in reads) / genome_size_expected
+
+    while True:
+        t0 = time.time()
+        posterior = sample_posterior(
+            dbg, param_infer, reads, mappings, genome_size_expected,
+            genome_size_sigma, neighbor_config, max_iter, rescue_only=True,
+            dtype=dtype, verbose=verbose,
+        )
+        dbg.set_copy_nums(posterior.max_copy_nums())
+        log(f"k={dbg.k} posterior sampled in {time.time()-t0:.1f}s "
+            f"({len(posterior.samples)} samples)")
+
+        if on_iter is not None:
+            on_iter(dbg, posterior, paths, mappings)
+
+        if dbg.k >= k_max:
+            break
+
+        dbg, paths, _m = purge_and_extend_with_posterior(
+            dbg, posterior, k_max, p0, paths, None
+        )
+        log(f"extended to k={dbg.k}")
+        mappings = generate_mappings(dbg, param_error, reads, dtype=dtype)
+        freqs = mappings.to_node_freqs(dbg.n_edges_full())
+        # reference hardcodes Some(2) haplotypes here (posterior.rs:798);
+        # we only fix the count when a terminal node exists
+        nh = n_haplotypes if n_haplotypes is not None else 2
+        if dbg.terminal_node_compact() is None:
+            nh = None
+        cn = min_squared_error_copy_nums_from_freqs(dbg, freqs, coverage, nh)
+        dbg.set_copy_nums(cn)
+
+    # final full-neighborhood sampling with the error params
+    mappings = generate_mappings(dbg, param_error, reads, dtype=dtype)
+    posterior = sample_posterior(
+        dbg, param_error, reads, mappings, genome_size_expected,
+        genome_size_sigma, neighbor_config, max_iter, rescue_only=False,
+        dtype=dtype, verbose=verbose,
+    )
+    dbg.set_copy_nums(posterior.max_copy_nums())
+    return dbg, posterior, paths, mappings

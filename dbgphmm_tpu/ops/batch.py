@@ -1,0 +1,68 @@
+"""Candidate-batched likelihood evaluation.
+
+The posterior hill-climb scores many neighbor copy-number assignments X
+against the same reads.  All candidates share the graph topology (only
+transition/init probabilities change), so the per-candidate arrays are
+stacked on a leading axis and vmapped — "batch of X's x batch of reads"
+(ref: SURVEY.md section 2.11 candidate parallelism; replaces the reference's
+rayon fan-out over neighbors, posterior.rs:504-515).
+
+Candidate counts vary between hill-climb iterations; we pad to power-of-two
+buckets to avoid XLA recompilation churn.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..phmm.model import PHMMModel
+from .forward import DeviceModel, forward_scores, to_device
+
+
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+@jax.jit
+def _scores_vmapped(dm: DeviceModel, init_b, plogt_b, clogt_b, codes, lens):
+    def one(init_logp, parent_logt, child_logt):
+        dmc = dataclasses.replace(
+            dm, init_logp=init_logp, parent_logt=parent_logt, child_logt=child_logt
+        )
+        return forward_scores(dmc, codes, lens, renorm=True)
+
+    return jax.vmap(one)(init_b, plogt_b, clogt_b)  # [C, B]
+
+
+def candidate_log_likelihoods(
+    models: Sequence[PHMMModel],
+    codes: np.ndarray,
+    lens: np.ndarray,
+    dtype=jnp.float64,
+) -> np.ndarray:
+    """Total log P(R|X_c) = sum over reads of log P(read|X_c), for each
+    candidate model (same topology, different probabilities).
+
+    Returns [n_candidates] float64.
+    """
+    C = len(models)
+    pad = _bucket(C)
+    base = to_device(models[0], dtype=dtype)
+    as_d = lambda arrs: jnp.asarray(np.stack(arrs), dtype=dtype)
+    init = [m.init_logp for m in models] + [models[0].init_logp] * (pad - C)
+    plogt = [m.parent_logt for m in models] + [models[0].parent_logt] * (pad - C)
+    clogt = [m.child_logt for m in models] + [models[0].child_logt] * (pad - C)
+    per_read = _scores_vmapped(
+        base, as_d(init), as_d(plogt), as_d(clogt),
+        jnp.asarray(codes), jnp.asarray(lens),
+    )  # [pad, B]
+    out = np.asarray(per_read, dtype=np.float64)[:C].sum(axis=1)
+    return out

@@ -425,6 +425,7 @@ def node_freqs_and_mappings(
     """
     B, L = codes.shape
     n = dm.emission.shape[0]
+    n_active = min(n_active, n)
     dtype = dm.init_logp.dtype
 
     f_final, f_tabs = forward_tables(dm, codes, lens, renorm=renorm)

@@ -1,0 +1,151 @@
+"""Posterior sampling tests: oracle checks against embedded ground truth
+(ref: src/multi_dbg/posterior/test.rs:374-412 -- P(X=0|R) low for true edges,
+argmax == true copy nums)."""
+
+import numpy as np
+import pytest
+
+from dbgphmm_tpu.e2e import Dataset, ReadType, generate_dataset
+from dbgphmm_tpu.multi_dbg import MultiDbg
+from dbgphmm_tpu.multi_dbg.neighbors import (
+    NeighborConfig,
+    to_neighbor_copy_nums_and_infos,
+    to_rescue_neighbors,
+    to_short_neighbors,
+)
+from dbgphmm_tpu.multi_dbg.posterior import (
+    Mappings,
+    Posterior,
+    PosteriorSample,
+    Score,
+    generate_mappings,
+    infer_posterior_by_extension,
+    sample_posterior,
+    score_candidates,
+)
+from dbgphmm_tpu.phmm.params import PHMMParams
+from dbgphmm_tpu.seq.collection import ReadCollection, StyledSequence
+from dbgphmm_tpu.seq.genome import Genome
+
+
+def small_diploid():
+    # two haplotypes sharing ends, SNV in the middle
+    h1 = b"TTAGGCTTCGATCGAATGCC"
+    h2 = b"TTAGGCTTGGATCGAATGCC"
+    return Genome([StyledSequence.linear(h1), StyledSequence.linear(h2)])
+
+
+def perfect_reads(genome, coverage=10, read_len=12, seed=0):
+    rng = np.random.default_rng(seed)
+    reads = []
+    for s in genome:
+        n = int(len(s.seq) * coverage / read_len)
+        for _ in range(n):
+            st = rng.integers(0, len(s.seq) - read_len + 1)
+            reads.append(s.seq[st : st + read_len])
+    return ReadCollection(reads)
+
+
+def test_score_and_posterior_containers():
+    s1 = Score(likelihood=-10.0, prior=-2.0, genome_size=40, n_euler_circuits=0.5)
+    assert s1.p() == pytest.approx(-11.5)
+    s2 = Score.from_json(s1.to_json())
+    assert s2 == s1
+    post = Posterior()
+    post.add(PosteriorSample([1, 2], s1))
+    post.add(PosteriorSample([1, 2], s1))  # dedup
+    assert len(post.samples) == 1
+    post.add(PosteriorSample([2, 2], Score(-9.0, -2.0, 42, 0.5)))
+    assert post.max_copy_nums() == [2, 2]
+    # p_edge distribution normalizes
+    d = post.p_edge(0)
+    total = np.exp(list(d.values())).sum()
+    assert total == pytest.approx(1.0)
+
+
+def test_short_neighbors_on_diploid_bubble():
+    g = small_diploid()
+    dbg = MultiDbg.from_styled_seqs(8, [s for s in g])
+    nbrs = to_short_neighbors(dbg, max_cycle_size=8, max_flip=2)
+    assert len(nbrs) > 0
+    # all neighbors flow-consistent
+    work = dbg.copy()
+    for cn, info in nbrs[:10]:
+        work.set_copy_nums(cn)  # asserts validity internally
+
+
+def test_scoring_prefers_truth():
+    """True copy numbers score higher than a corrupted assignment."""
+    g = small_diploid()
+    dbg = MultiDbg.from_styled_seqs(8, [s for s in g])
+    reads = perfect_reads(g, coverage=10, read_len=14)
+    true_cn = dbg.get_copy_nums()
+    # corrupt: drop one bubble branch (find an edge with copy 1 that has a
+    # sibling alternative)
+    nbrs = to_short_neighbors(dbg, 8, 2)
+    cands = [true_cn] + [cn for cn, _i in nbrs[:6]]
+    scores = score_candidates(
+        dbg, PHMMParams.uniform(0.001), reads, cands,
+        g.genome_size(), 5,
+    )
+    ps = [s.p() for s in scores]
+    assert ps[0] == max(ps), f"truth not best: {ps}"
+
+
+def test_sample_posterior_recovers_from_corruption():
+    """Start the hill climb from corrupted copy nums; it should climb back."""
+    g = small_diploid()
+    dbg = MultiDbg.from_styled_seqs(8, [s for s in g])
+    reads = perfect_reads(g, coverage=10, read_len=14)
+    params = PHMMParams.uniform(0.001)
+    true_cn = dbg.get_copy_nums()
+
+    # corrupt by moving to a neighbor
+    nbrs = to_short_neighbors(dbg, 8, 2)
+    corrupted = nbrs[0][0]
+    work = dbg.copy()
+    work.set_copy_nums(corrupted)
+
+    mappings = generate_mappings(work, params, reads)
+    post = sample_posterior(
+        work, params, reads, mappings, g.genome_size(), 5,
+        rescue_only=False, max_iter=10,
+    )
+    assert post.max_copy_nums() == true_cn
+
+
+def test_infer_posterior_by_extension_small():
+    """Mini end-to-end: draft at k=8 -> infer to k=16 on a clean diploid."""
+    g = small_diploid()
+    dbg = MultiDbg.from_styled_seqs(8, [s for s in g])
+    reads = perfect_reads(g, coverage=12, read_len=16, seed=1)
+    params = PHMMParams.uniform(0.001)
+
+    dbg_final, post, _paths, _maps = infer_posterior_by_extension(
+        k_max=16,
+        dbg_init=dbg,
+        param_infer=params,
+        param_error=params,
+        reads=reads,
+        genome_size_expected=g.genome_size(),
+        genome_size_sigma=5,
+        max_iter=10,
+        p0=0.8,
+        n_haplotypes=2,
+    )
+    assert dbg_final.k == 16
+    # final assembly spells both haplotypes
+    haps = sorted(s.seq for s, _c in dbg_final.get_linear_haplotype_seqs())
+    truth = sorted(s.seq for s in g)
+    assert haps == truth
+
+
+def test_generate_mappings_sane():
+    g = small_diploid()
+    dbg = MultiDbg.from_styled_seqs(8, [s for s in g])
+    reads = perfect_reads(g, coverage=5, read_len=12)
+    maps = generate_mappings(dbg, PHMMParams.uniform(0.001), reads, n_active=8)
+    assert maps.n_reads() == len(reads)
+    freqs = maps.to_node_freqs(dbg.n_edges_full())
+    # total expected usage ~ total read bases
+    assert freqs.sum() == pytest.approx(reads.total_bases(), rel=0.05)
