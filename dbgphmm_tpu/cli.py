@@ -1,0 +1,275 @@
+"""Command-line interface (ref: src/bin/dbgphmm.rs + experiment binaries).
+
+Production subcommands (matching the reference's flags):
+
+* ``raw-dbg``  counts -> GFA                    (ref: bin/dbgphmm.rs RawDbg)
+* ``draft``    reads -> k0 draft DBG            (ref: bin/dbgphmm.rs Draft)
+* ``infer``    k0 DBG -> K_MAX posterior loop   (ref: bin/dbgphmm.rs Infer)
+* ``euler``    DBG -> assembled FASTA           (ref: bin/dbgphmm.rs Euler)
+
+Simulation subcommands (ref: bin/draft.rs, bin/infer.rs):
+
+* ``sim-draft``  generate synthetic dataset (+ optional draft + true paths)
+* ``sim-infer``  run inference against a dataset.json with truth tracking
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+
+def _setup_jax(use_cpu: bool):
+    import jax
+
+    if use_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+
+def cmd_raw_dbg(args):
+    from .hashdbg import HashDbg
+    from .multi_dbg import MultiDbg
+    from .multi_dbg import output as out
+    from .seq.collection import ReadCollection
+
+    reads = ReadCollection.from_fasta(args.read_fasta)
+    hd = HashDbg.from_fragment_seqs(args.k, reads)
+    hd.remove_rare_kmers(args.min_count)
+    hd.remove_deadends(args.min_deadend_count)
+    dbg = MultiDbg.from_hashdbg(hd, ignore_copy_num=True)
+    out.to_gfa_file(dbg, args.gfa_output)
+    print(f"# wrote {args.gfa_output}")
+
+
+def cmd_draft(args):
+    from .multi_dbg import output as out
+    from .multi_dbg.draft import create_draft_from_reads
+    from .seq.collection import ReadCollection
+
+    reads = ReadCollection.from_fasta(args.read_fasta)
+    print(f"# n_reads={len(reads)}")
+    dbg = create_draft_from_reads(
+        args.k, reads, args.p_error, args.genome_size,
+        n_haplotypes=args.n_haplotypes,
+        min_count=args.min_count, min_deadend_count=args.min_deadend_count,
+    )
+    out.to_dbg_file(dbg, args.dbg_output)
+    print(f"# wrote {args.dbg_output} ({dbg})")
+    if args.gfa_output:
+        out.to_gfa_file(dbg, args.gfa_output)
+
+
+def _run_inference(dbg, reads, args, paths_true=None):
+    from .multi_dbg import output as out
+    from .multi_dbg.posterior import infer_posterior_by_extension
+    from .phmm.params import PHMMParams
+
+    prefix = str(args.output_prefix)
+
+    def on_iter(dbg_k, posterior, paths, mappings):
+        k = dbg_k.k
+        copy_nums_true = None
+        if paths is not None and all(p is not None for p in paths):
+            work = dbg_k.copy()
+            cn = [0] * work.n_edges_full()
+            for p in paths:
+                for e in p:
+                    cn[e] += 1
+            copy_nums_true = [
+                cn[work.edges_in_full(ec)[0]] for ec in range(work.n_edges_compact())
+            ]
+        out.to_dbg_file(dbg_k, f"{prefix}.k{k}.dbg")
+        out.to_post_file(posterior, f"{prefix}.k{k}.post")
+        out.to_gfa_file(dbg_k, f"{prefix}.k{k}.gfa")
+        out.to_inspect_file(dbg_k, f"{prefix}.k{k}.inspect", posterior, copy_nums_true)
+        print(f"# k={k} dumped {prefix}.k{k}.*")
+
+    dbg_final, posterior, paths, mappings = infer_posterior_by_extension(
+        k_max=args.k_max,
+        dbg_init=dbg,
+        param_infer=PHMMParams.uniform(args.p_infer),
+        param_error=PHMMParams.uniform(args.p_error),
+        reads=reads,
+        genome_size_expected=args.genome_size,
+        genome_size_sigma=args.genome_size_sigma,
+        max_iter=args.max_iter,
+        p0=args.p0,
+        on_iter=on_iter,
+        paths=paths_true,
+        verbose=True,
+    )
+    out.to_dbg_file(dbg_final, f"{prefix}.final.dbg")
+    out.to_gfa_file(dbg_final, f"{prefix}.final.gfa")
+    out.to_inspect_file(dbg_final, f"{prefix}.final.inspect", posterior)
+    dbg_final.to_fasta_linear(f"{prefix}.final.euler.fa")
+    print(f"# wrote {prefix}.final.*")
+    return dbg_final, posterior
+
+
+def cmd_infer(args):
+    from .multi_dbg import output as out
+    from .seq.collection import ReadCollection
+
+    reads = ReadCollection.from_fasta(args.read_fasta)
+    dbg = out.from_dbg_file(args.dbg_input)
+    _run_inference(dbg, reads, args)
+
+
+def cmd_euler(args):
+    from .multi_dbg import output as out
+
+    dbg = out.from_dbg_file(args.dbg)
+    dbg.to_fasta_linear(args.fasta_out)
+    print(f"# wrote {args.fasta_out}")
+
+
+def cmd_sim_draft(args):
+    """(ref: bin/draft.rs) Generate dataset + optional draft DBG."""
+    from .e2e import ReadType, generate_dataset
+    from .multi_dbg import output as out
+    from .multi_dbg.draft import create_draft_from_dataset
+    from .phmm.params import PHMMParams
+    from .seq import genome as genome_gen
+
+    g = genome_gen.tandem_repeat_polyploid_with_unique_homo_ends(
+        args.unit_size, args.n_unit, args.unit_seed, args.div_init,
+        args.div_seed, args.end_length, args.ploidy, args.div_hap, args.hap_seed,
+    )
+    ds = generate_dataset(
+        g, args.read_seed, args.coverage, args.read_length,
+        ReadType.FRAGMENT_WITH_REVCOMP if args.fragment else ReadType.FULL_LENGTH_WITH_REVCOMP,
+        PHMMParams.uniform(args.p_error),
+    )
+    prefix = str(args.output_prefix)
+    ds.write_files(prefix)
+    print(f"# dataset: {len(ds.reads)} reads {ds.coverage():.1f}x -> {prefix}.json")
+    if args.k:
+        dbg = create_draft_from_dataset(args.k, ds)
+        out.to_dbg_file(dbg, f"{prefix}.dbg")
+        try:
+            paths = dbg.paths_from_styled_seqs(ds.genome)
+            out.to_paths_file(paths, f"{prefix}.paths")
+            print(f"# draft contains true genome: wrote {prefix}.paths")
+        except Exception as e:
+            print(f"# true paths not in draft: {e}")
+        print(f"# wrote {prefix}.dbg ({dbg})")
+
+
+def cmd_sim_infer(args):
+    """(ref: bin/infer.rs) Inference against dataset.json with truth diff."""
+    from .e2e import Dataset
+    from .multi_dbg import output as out
+
+    ds = Dataset.from_json_file(args.dataset_json)
+    dbg = out.from_dbg_file(args.dbg_input)
+    paths_true = None
+    try:
+        paths_true = dbg.paths_from_styled_seqs(ds.genome)
+    except Exception:
+        print("# warning: true genome k-mers missing from draft")
+    args.genome_size = args.genome_size or ds.genome_size()
+    dbg_final, posterior = _run_inference(dbg, ds.reads, args, paths_true)
+    # accuracy report
+    haps = sorted(s.seq for s, _c in dbg_final.get_linear_haplotype_seqs())
+    truth = sorted(s.seq for s in ds.genome)
+    print(f"# assembled={len(haps)} truth={len(truth)} exact={haps == truth}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dbgphmm",
+        description="TPU-native Bayesian genome assembler (dbgphmm_tpu)",
+    )
+    p.add_argument("--cpu", action="store_true", help="force JAX CPU backend")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    rd = sub.add_parser("raw-dbg", help="construct raw DBG from reads -> GFA")
+    rd.add_argument("-k", type=int, required=True)
+    rd.add_argument("-m", "--min-count", type=int, default=2)
+    rd.add_argument("-M", "--min-deadend-count", type=int, required=True)
+    rd.add_argument("read_fasta")
+    rd.add_argument("-g", "--gfa-output", required=True)
+    rd.set_defaults(fn=cmd_raw_dbg)
+
+    d = sub.add_parser("draft", help="construct draft DBG from reads")
+    d.add_argument("-k", type=int, required=True)
+    d.add_argument("-m", "--min-count", type=int, default=2)
+    d.add_argument("-M", "--min-deadend-count", type=int, required=True)
+    d.add_argument("-p", "--p-error", type=float, default=0.001)
+    d.add_argument("-G", "--genome-size", type=int, required=True)
+    d.add_argument("-P", "--n-haplotypes", type=int, default=None)
+    d.add_argument("read_fasta")
+    d.add_argument("-d", "--dbg-output", required=True)
+    d.add_argument("-g", "--gfa-output", default=None)
+    d.set_defaults(fn=cmd_draft)
+
+    inf = sub.add_parser("infer", help="posterior inference k0 -> K")
+    inf.add_argument("-d", "--dbg-input", required=True)
+    inf.add_argument("-o", "--output-prefix", required=True)
+    inf.add_argument("-K", "--k-max", type=int, required=True)
+    inf.add_argument("-G", "--genome-size", type=int, required=True)
+    inf.add_argument("-S", "--genome-size-sigma", type=int, default=100)
+    inf.add_argument("read_fasta")
+    inf.add_argument("-p", "--p-error", type=float, default=0.001)
+    inf.add_argument("-e", "--p-infer", type=float, default=0.00001)
+    inf.add_argument("--p0", type=float, default=0.8)
+    inf.add_argument("-I", "--max-iter", type=int, default=50)
+    inf.add_argument("-c", "--max-cycle-size", type=int, default=1000)
+    inf.set_defaults(fn=cmd_infer)
+
+    eu = sub.add_parser("euler", help="emit assembly FASTA from DBG")
+    eu.add_argument("-d", "--dbg", required=True)
+    eu.add_argument("fasta_out")
+    eu.set_defaults(fn=cmd_euler)
+
+    sd = sub.add_parser("sim-draft", help="generate synthetic dataset (+ draft)")
+    sd.add_argument("-k", type=int, default=None)
+    sd.add_argument("--unit-size", type=int, default=20)
+    sd.add_argument("--n-unit", type=int, default=20)
+    sd.add_argument("--unit-seed", type=int, default=0)
+    sd.add_argument("--div-init", type=float, default=0.0)
+    sd.add_argument("--div-seed", type=int, default=0)
+    sd.add_argument("--end-length", type=int, default=100)
+    sd.add_argument("--ploidy", "-P", type=int, default=2)
+    sd.add_argument("--div-hap", type=float, default=0.02)
+    sd.add_argument("--hap-seed", type=int, default=0)
+    sd.add_argument("--read-seed", type=int, default=0)
+    sd.add_argument("-C", "--coverage", type=int, default=10)
+    sd.add_argument("-L", "--read-length", type=int, default=1000)
+    sd.add_argument("-p", "--p-error", type=float, default=0.001)
+    sd.add_argument("--fragment", action="store_true")
+    sd.add_argument("-o", "--output-prefix", required=True)
+    sd.set_defaults(fn=cmd_sim_draft)
+
+    si = sub.add_parser("sim-infer", help="inference against dataset.json")
+    si.add_argument("dataset_json")
+    si.add_argument("-d", "--dbg-input", required=True)
+    si.add_argument("-o", "--output-prefix", required=True)
+    si.add_argument("-K", "--k-max", type=int, required=True)
+    si.add_argument("-G", "--genome-size", type=int, default=None)
+    si.add_argument("-S", "--genome-size-sigma", type=int, default=100)
+    si.add_argument("-p", "--p-error", type=float, default=0.001)
+    si.add_argument("-e", "--p-infer", type=float, default=0.00001)
+    si.add_argument("--p0", type=float, default=0.8)
+    si.add_argument("-I", "--max-iter", type=int, default=50)
+    si.set_defaults(fn=cmd_sim_infer)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    _setup_jax(args.cpu)
+    t0 = time.time()
+    print(f"# started_at={time.strftime('%Y-%m-%d %H:%M:%S')}")
+    print(f"# version=dbgphmm_tpu")
+    print(f"# args={vars(args)}")
+    args.fn(args)
+    print(f"# finished_at={time.strftime('%Y-%m-%d %H:%M:%S')} elapsed={time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
