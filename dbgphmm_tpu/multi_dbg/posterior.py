@@ -213,9 +213,11 @@ def score_candidates(
     codes=None,
     lens=None,
     dtype=None,
+    map_nodes=None,
 ) -> List[Score]:
     """Evaluate Score for a batch of copy-number candidates: likelihoods on
-    device (one vmapped launch), prior + Euler count on host."""
+    device (one vmapped launch — mapping-constrained when ``map_nodes`` is
+    given), prior + Euler count on host."""
     import jax.numpy as jnp
 
     if dtype is None:
@@ -225,7 +227,9 @@ def score_candidates(
 
     t0 = time.time()
     models = _phmm_models_for_candidates(dbg, params, candidates)
-    lls = candidate_log_likelihoods(models, codes, lens, dtype=dtype)
+    lls = candidate_log_likelihoods(
+        models, codes, lens, dtype=dtype, map_nodes=map_nodes
+    )
     t_like = time.time() - t0
 
     scores = []
@@ -273,8 +277,13 @@ def sample_posterior(
     infos: List[UpdateInfo] = []
     work = dbg.copy()
     codes, lens = pad_reads(list(reads))
+    map_nodes = None
     if mappings is not None:
         freqs = mappings.to_node_freqs(dbg.n_edges_full())
+        from ..ops.sparse import pad_mappings
+
+        width = max((n.shape[1] for n in mappings.nodes if n.size), default=8)
+        map_nodes = pad_mappings(mappings, codes.shape[1], width)
     else:
         freqs = np.ones(dbg.n_edges_full())
     coverage = sum(len(r) for r in reads) / genome_size_expected
@@ -298,6 +307,7 @@ def sample_posterior(
         scores = score_candidates(
             work, params, reads, [cn for cn, _i in uniq],
             genome_size_expected, genome_size_sigma, codes, lens, dtype,
+            map_nodes=map_nodes,
         )
         for (cn, info), sc in zip(uniq, scores):
             post.add(PosteriorSample(cn, sc, infos_init + [info]))
@@ -305,7 +315,7 @@ def sample_posterior(
     # initial score
     init_scores = score_candidates(
         work, params, reads, [copy_nums], genome_size_expected,
-        genome_size_sigma, codes, lens, dtype,
+        genome_size_sigma, codes, lens, dtype, map_nodes=map_nodes,
     )
     post.add(PosteriorSample(copy_nums, init_scores[0], []))
 
@@ -355,6 +365,7 @@ def sample_posterior(
                     scores = score_candidates(
                         work, params, reads, [cur], genome_size_expected,
                         genome_size_sigma, codes, lens, dtype,
+                        map_nodes=map_nodes,
                     )
                     post.add(PosteriorSample(cur, scores[0], infos + [mm_info]))
 

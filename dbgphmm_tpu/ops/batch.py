@@ -42,14 +42,33 @@ def _scores_vmapped(dm: DeviceModel, init_b, plogt_b, clogt_b, codes, lens):
     return jax.vmap(one)(init_b, plogt_b, clogt_b)  # [C, B]
 
 
+@jax.jit
+def _scores_vmapped_mapped(dm: DeviceModel, init_b, plogt_b, clogt_b, codes,
+                           lens, map_nodes):
+    from .sparse import forward_scores_mapped
+
+    def one(init_logp, parent_logt, child_logt):
+        dmc = dataclasses.replace(
+            dm, init_logp=init_logp, parent_logt=parent_logt, child_logt=child_logt
+        )
+        return forward_scores_mapped(dmc, codes, lens, map_nodes, renorm=True)
+
+    return jax.vmap(one)(init_b, plogt_b, clogt_b)  # [C, B]
+
+
 def candidate_log_likelihoods(
     models: Sequence[PHMMModel],
     codes: np.ndarray,
     lens: np.ndarray,
     dtype=jnp.float64,
+    map_nodes: np.ndarray = None,
 ) -> np.ndarray:
     """Total log P(R|X_c) = sum over reads of log P(read|X_c), for each
     candidate model (same topology, different probabilities).
+
+    When ``map_nodes`` [B, L, A] is given, uses the mapping-constrained
+    sparse kernel (ref: freq.rs:175-192 scoring with mappings) — the
+    production path for large graphs.
 
     Returns [n_candidates] float64.
     """
@@ -60,9 +79,15 @@ def candidate_log_likelihoods(
     init = [m.init_logp for m in models] + [models[0].init_logp] * (pad - C)
     plogt = [m.parent_logt for m in models] + [models[0].parent_logt] * (pad - C)
     clogt = [m.child_logt for m in models] + [models[0].child_logt] * (pad - C)
-    per_read = _scores_vmapped(
-        base, as_d(init), as_d(plogt), as_d(clogt),
-        jnp.asarray(codes), jnp.asarray(lens),
-    )  # [pad, B]
+    if map_nodes is not None:
+        per_read = _scores_vmapped_mapped(
+            base, as_d(init), as_d(plogt), as_d(clogt),
+            jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(map_nodes),
+        )
+    else:
+        per_read = _scores_vmapped(
+            base, as_d(init), as_d(plogt), as_d(clogt),
+            jnp.asarray(codes), jnp.asarray(lens),
+        )  # [pad, B]
     out = np.asarray(per_read, dtype=np.float64)[:C].sum(axis=1)
     return out

@@ -1,0 +1,195 @@
+"""Mapping-constrained sparse forward — the production scoring kernel.
+
+Counterpart of the reference's hot loop `forward_with_mapping_score_only`
+(ref: src/hmmv2/forward.rs:79-89, used via freq.rs:175-192 for every
+candidate X evaluation).  Per read position the table is restricted to the
+precomputed active set (the "mapping", A ~ 40 nodes); the per-step cost is
+O(B * A^2 * D) **independent of graph size n** — this is what makes k=10k
+graphs tractable (dense cost is O(B * n * D) with n ~ 1e5..1e6).
+
+TPU design: the sparse "which slot holds node v" lookup is a broadcast
+equality match between gathered parent indices [B, A, D] and the previous
+active set [B, A'] — a dense [B, A, D, A'] select+max that XLA fuses into
+VPU-friendly elementwise work, instead of the reference's SparseVec pointer
+chasing (sparsevec crate).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .forward import DeviceModel, NEG, _ladd, _ladd3
+
+
+def _gather_prev(parent_idx, prev_nodes, prev_vals):
+    """For each (b, a, d): value of prev_vals at the slot of prev_nodes that
+    holds node parent_idx[b,a,d], or -inf if absent.
+
+    parent_idx: [B, A, D] int32; prev_nodes: [B, A'] int32 (-1 pad);
+    prev_vals: [B, A'] -> returns [B, A, D].
+    """
+    match = parent_idx[:, :, :, None] == prev_nodes[:, None, None, :]  # [B,A,D,A']
+    vals = jnp.where(match, prev_vals[:, None, None, :], NEG)
+    return jnp.max(vals, axis=-1)
+
+
+def _gather_self(cur_nodes, prev_nodes, prev_vals):
+    """Value of prev_vals at each current node (or -inf): [B, A]."""
+    match = cur_nodes[:, :, None] == prev_nodes[:, None, :]  # [B, A, A']
+    vals = jnp.where(match, prev_vals[:, None, :], NEG)
+    return jnp.max(vals, axis=-1)
+
+
+class SState(NamedTuple):
+    nodes: jnp.ndarray  # [B, A] int32 active nodes (-1 pad)
+    m: jnp.ndarray  # [B, A]
+    i: jnp.ndarray
+    d: jnp.ndarray
+    mb: jnp.ndarray  # [B]
+    ib: jnp.ndarray  # [B]
+    e: jnp.ndarray  # [B]
+    off: jnp.ndarray  # [B]
+    off_c: jnp.ndarray
+
+
+def _s_step(dm: DeviceModel, st: SState, cur_nodes: jnp.ndarray, x: jnp.ndarray,
+            valid: jnp.ndarray, renorm: bool) -> SState:
+    """One mapping-constrained forward step (ref: forward.rs:276-306 with
+    ``mapping.nodes(i)`` as the active set and is_adaptive=false)."""
+    lt = dm.lt
+    B, A = cur_nodes.shape
+    slot_ok = cur_nodes >= 0
+    safe_nodes = jnp.where(slot_ok, cur_nodes, 0)
+
+    # per-slot static attributes
+    par_idx = dm.parent_idx[safe_nodes]  # [B, A, D]
+    par_logt = jnp.where(slot_ok[:, :, None], dm.parent_logt[safe_nodes], NEG)
+    init_lp = jnp.where(slot_ok, dm.init_logp[safe_nodes], NEG)  # [B, A]
+    emis = dm.emission[safe_nodes]  # [B, A]
+    p_emit = jnp.where(emis == x[:, None], lt.match, lt.mismatch)
+
+    # fm
+    pm = _gather_prev(par_idx, st.nodes, st.m)
+    pi = _gather_prev(par_idx, st.nodes, st.i)
+    pd = _gather_prev(par_idx, st.nodes, st.d)
+    inner = _ladd3(lt.MM + pm, lt.IM + pi, lt.DM + pd)
+    from_normal = _lse_last(par_logt + inner)
+    from_begin = init_lp + _ladd(lt.MM + st.mb, lt.IM + st.ib)[:, None]
+    m_new = p_emit + _ladd(from_normal, from_begin)
+
+    # fi: self transition, prev table value at the same node
+    sm = _gather_self(cur_nodes, st.nodes, st.m)
+    si = _gather_self(cur_nodes, st.nodes, st.i)
+    sd = _gather_self(cur_nodes, st.nodes, st.d)
+    i_new = lt.random + _ladd3(lt.MI + sm, lt.II + si, lt.DI + sd)
+
+    mb_new = jnp.full_like(st.mb, NEG)
+    ib_new = lt.random + _ladd(lt.MI + st.mb, lt.II + st.ib)
+
+    # fd: deletion closure within the current active set
+    fm_par = _gather_prev(par_idx, cur_nodes, m_new)
+    fi_par = _gather_prev(par_idx, cur_nodes, i_new)
+    fd0 = _lse_last(par_logt + _ladd(lt.MD + fm_par, lt.ID + fi_par))
+    fd0 = _ladd(fd0, init_lp + _ladd(lt.MD + mb_new, lt.ID + ib_new)[:, None])
+    d_new = fd0
+    fdt = fd0
+    for _ in range(dm.n_max_gaps):
+        fdt = _lse_last(par_logt + lt.DD + _gather_prev(par_idx, cur_nodes, fdt))
+        d_new = _ladd(d_new, fdt)
+
+    # mask padding slots
+    m_new = jnp.where(slot_ok, m_new, NEG)
+    i_new = jnp.where(slot_ok, i_new, NEG)
+    d_new = jnp.where(slot_ok, d_new, NEG)
+
+    # fe
+    e_new = lt.end + _lse_last(_ladd3(m_new, i_new, d_new))
+
+    off, off_c = st.off, st.off_c
+    if renorm:
+        shift = jnp.max(m_new, axis=-1)
+        shift = jnp.where(jnp.isfinite(shift) & valid, shift, 0.0)
+        m_new = m_new - shift[:, None]
+        i_new = i_new - shift[:, None]
+        d_new = d_new - shift[:, None]
+        mb_new = mb_new - shift
+        ib_new = ib_new - shift
+        e_new = e_new - shift
+        y = shift - off_c
+        t = off + y
+        off_c = (t - off) - y
+        off = t
+
+    v1 = valid[:, None]
+    return SState(
+        nodes=jnp.where(v1, cur_nodes, st.nodes),
+        m=jnp.where(v1, m_new, st.m),
+        i=jnp.where(v1, i_new, st.i),
+        d=jnp.where(v1, d_new, st.d),
+        mb=jnp.where(valid, mb_new, st.mb),
+        ib=jnp.where(valid, ib_new, st.ib),
+        e=jnp.where(valid, e_new, st.e),
+        off=jnp.where(valid, off, st.off),
+        off_c=jnp.where(valid, off_c, st.off_c),
+    )
+
+
+def _lse_last(x):
+    m = jnp.max(x, axis=-1)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    out = m_safe + jnp.log(jnp.sum(jnp.exp(x - m_safe[..., None]), axis=-1))
+    return jnp.where(jnp.isfinite(m), out, NEG)
+
+
+@functools.partial(jax.jit, static_argnames=("renorm",))
+def forward_scores_mapped(
+    dm: DeviceModel,
+    codes: jnp.ndarray,  # [B, L]
+    lens: jnp.ndarray,  # [B]
+    map_nodes: jnp.ndarray,  # [B, L, A] int32, -1 pad
+    renorm: bool = True,
+) -> jnp.ndarray:
+    """Log P(read) per read, evaluating only the mapped active sets
+    (ref: forward.rs:79-89 forward_with_mapping_score_only)."""
+    B, L = codes.shape
+    A = map_nodes.shape[2]
+    dtype = dm.init_logp.dtype
+    z = jnp.zeros((B,), dtype=dtype)
+    st0 = SState(
+        nodes=jnp.full((B, A), -1, dtype=jnp.int32),
+        m=jnp.full((B, A), NEG, dtype=dtype),
+        i=jnp.full((B, A), NEG, dtype=dtype),
+        d=jnp.full((B, A), NEG, dtype=dtype),
+        mb=z,  # log 1
+        ib=jnp.full((B,), NEG, dtype=dtype),
+        e=jnp.full((B,), NEG, dtype=dtype),
+        off=z,
+        off_c=z,
+    )
+    pos = jnp.arange(L, dtype=lens.dtype)
+
+    def body(st, xs):
+        x, nodes_t, p = xs
+        valid = p < lens
+        return _s_step(dm, st, nodes_t, x, valid, renorm), None
+
+    st, _ = jax.lax.scan(
+        body, st0, (codes.T, jnp.swapaxes(map_nodes, 0, 1), pos)
+    )
+    return st.e + st.off
+
+
+def pad_mappings(mappings, L: int, n_active: int) -> np.ndarray:
+    """Stack per-read mapping node arrays into [B, L, A] with -1 padding."""
+    B = mappings.n_reads()
+    out = np.full((B, L, n_active), -1, dtype=np.int32)
+    for b, nodes in enumerate(mappings.nodes):
+        Lb, Ab = nodes.shape
+        a = min(Ab, n_active)
+        out[b, :Lb, :a] = nodes[:, :a]
+    return out
