@@ -195,12 +195,12 @@ def to_prior(dbg: MultiDbg, genome_size_expected: int, genome_size_sigma: int) -
 def _phmm_models_for_candidates(
     dbg: MultiDbg, params: PHMMParams, candidates: List[List[int]]
 ):
-    models = []
-    work = dbg.copy()
-    for cn in candidates:
-        work.set_copy_nums(cn)
-        models.append(work.to_phmm(params))
-    return models
+    """Vectorized per-candidate PHMM arrays via a topology template
+    (replaces per-candidate graph iteration; see phmm.template)."""
+    from ..phmm.template import make_template
+
+    tpl = make_template(dbg, params)
+    return [tpl.model_for(cn) for cn in candidates]
 
 
 def score_candidates(
