@@ -78,6 +78,9 @@ class Mappings:
         return out
 
 
+DENSE_MAPPING_MAX_NODES = 4000
+
+
 def generate_mappings(
     dbg: MultiDbg,
     params: PHMMParams,
@@ -86,7 +89,11 @@ def generate_mappings(
     dtype=None,
 ) -> Mappings:
     """Posterior state decode on the non-zero PHMM -> per-base top-k nodes
-    (ref: posterior.rs:609-637 generate_mappings; hint.rs:193-220)."""
+    (ref: posterior.rs:609-637 generate_mappings; hint.rs:193-220).
+
+    Uses the dense forward/backward for small graphs (exact) and the
+    sparse-adaptive kernel beyond DENSE_MAPPING_MAX_NODES (the reference's
+    run_sparse_adaptive path, freq.rs:60)."""
     import jax.numpy as jnp
 
     if dtype is None:
@@ -94,9 +101,18 @@ def generate_mappings(
     model = dbg.to_phmm(params, mode="non_zero")
     dm = to_device(model, dtype=dtype)
     codes, lens = pad_reads(list(reads))
-    _logp, _freqs, map_nodes, map_logp = node_freqs_and_mappings(
-        dm, jnp.asarray(codes), jnp.asarray(lens), renorm=True, n_active=n_active
-    )
+    if dbg.n_edges_full() <= DENSE_MAPPING_MAX_NODES:
+        _logp, _freqs, map_nodes, map_logp = node_freqs_and_mappings(
+            dm, jnp.asarray(codes), jnp.asarray(lens), renorm=True,
+            n_active=n_active,
+        )
+    else:
+        from ..ops.adaptive import mappings_sparse_adaptive
+
+        _logp, map_nodes, map_logp = mappings_sparse_adaptive(
+            dm, jnp.asarray(codes), jnp.asarray(lens),
+            n_top=n_active, n_active=n_active,
+        )
     mn = np.asarray(map_nodes)
     ml = np.asarray(map_logp)
     nodes, logps = [], []

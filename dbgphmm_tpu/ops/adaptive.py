@@ -1,0 +1,352 @@
+"""Sparse-adaptive forward/backward for mapping generation on large graphs.
+
+Counterpart of the reference's ``run_sparse_adaptive`` path
+(ref: src/hmmv2/forward.rs:93-154 forward_sparse,
+src/hmmv2/backward.rs:101-142 backward_by_forward, freq.rs:42-76): the active
+set evolves with the read — the top-K nodes of the previous table plus their
+children — so memory and compute are O(B * L * A) with A = K*(D+1) slots,
+independent of graph size n.
+
+This replaces the dense ``node_freqs_and_mappings`` when n is large (dense
+tables cost O(B * L * n) memory).  The warmup region is NOT computed densely
+(unlike the reference's n_warmup=k dense prefix): instead the first steps
+simply start from the Begin state whose successors are discovered through the
+init-prob top-K — see ``_initial_active``.  Parity with dense is enforced in
+tests at the mapping level (same top nodes on small graphs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .forward import DeviceModel, NEG, _ladd, _ladd3
+from .sparse import SState, _gather_prev, _gather_self, _lse_last, _s_step
+
+
+def _dedup_nodes(nodes: jnp.ndarray) -> jnp.ndarray:
+    """Mark duplicate node ids (per row) as -1. nodes: [B, A] int32."""
+    s = jnp.sort(nodes, axis=-1)
+    # a value is duplicate if equal to its neighbor in sorted order; mark all
+    # but first occurrence. We instead dedup on the original layout: a slot is
+    # kept if no earlier slot holds the same node.
+    B, A = nodes.shape
+    eq = nodes[:, :, None] == nodes[:, None, :]  # [B, A, A]
+    earlier = jnp.tril(jnp.ones((A, A), dtype=bool), k=-1)[None]
+    dup = jnp.any(eq & earlier, axis=-1)
+    return jnp.where(dup | (nodes < 0), -1, nodes)
+
+
+def _next_active(dm: DeviceModel, st: SState, n_top: int) -> jnp.ndarray:
+    """top-K of previous table (merged m+i+d) -> children + selves
+    (ref: forward.rs:148 to_childs_and_us(top_nodes))."""
+    merged = _ladd3(st.m, st.i, st.d)  # [B, A]
+    merged = jnp.where(st.nodes >= 0, merged, NEG)
+    k = min(n_top, merged.shape[1])
+    top_vals, top_slots = jax.lax.top_k(merged, k)  # [B, k]
+    top_nodes = jnp.take_along_axis(st.nodes, top_slots, axis=1)
+    top_nodes = jnp.where(jnp.isfinite(top_vals), top_nodes, -1)
+    safe = jnp.where(top_nodes >= 0, top_nodes, 0)
+    childs = dm.child_idx[safe]  # [B, k, D]
+    child_ok = (top_nodes[:, :, None] >= 0) & jnp.isfinite(
+        dm.child_logt[safe]
+    )
+    childs = jnp.where(child_ok, childs, -1)
+    cand = jnp.concatenate(
+        [top_nodes, childs.reshape(childs.shape[0], -1)], axis=1
+    )
+    return _dedup_nodes(cand)
+
+
+def _initial_active(dm: DeviceModel, batch: int, n_top: int) -> jnp.ndarray:
+    """Initial active set: nodes with highest init prob (the Begin state can
+    reach any node, weighted by init_logp)."""
+    k = min(n_top * (dm.child_idx.shape[1] + 1), dm.init_logp.shape[0])
+    vals, ids = jax.lax.top_k(dm.init_logp, k)
+    ids = jnp.where(jnp.isfinite(vals), ids, -1)
+    return jnp.tile(ids[None], (batch, 1)).astype(jnp.int32)
+
+
+def _dense_to_sparse(fstate, A: int) -> SState:
+    """Compact a dense FState [B, n] into the top-A active-set SState."""
+    merged = _ladd3(fstate.m, fstate.i, fstate.d)  # [B, n]
+    k = min(A, merged.shape[1])
+    top_vals, top_ids = jax.lax.top_k(merged, k)
+    nodes = jnp.where(jnp.isfinite(top_vals), top_ids, -1).astype(jnp.int32)
+    take = lambda tab: jnp.where(
+        nodes >= 0, jnp.take_along_axis(tab, top_ids, axis=1), NEG
+    )
+    B = merged.shape[0]
+    if k < A:
+        pad_n = jnp.full((B, A - k), -1, dtype=jnp.int32)
+        pad_v = jnp.full((B, A - k), NEG, dtype=fstate.m.dtype)
+        nodes = jnp.concatenate([nodes, pad_n], axis=1)
+        m = jnp.concatenate([take(fstate.m), pad_v], axis=1)
+        i = jnp.concatenate([take(fstate.i), pad_v], axis=1)
+        d = jnp.concatenate([take(fstate.d), pad_v], axis=1)
+    else:
+        m, i, d = take(fstate.m), take(fstate.i), take(fstate.d)
+    return SState(
+        nodes=nodes, m=m, i=i, d=d,
+        mb=fstate.mb, ib=fstate.ib, e=fstate.e,
+        off=fstate.off, off_c=fstate.off_c,
+    )
+
+
+class AdaptiveTables(NamedTuple):
+    nodes: jnp.ndarray  # [L, B, A]
+    m: jnp.ndarray  # [L, B, A]
+    i: jnp.ndarray
+    d: jnp.ndarray
+    off: jnp.ndarray  # [L, B]
+    e: jnp.ndarray  # [B] final score (with offset applied)
+
+
+@functools.partial(jax.jit, static_argnames=("n_top", "n_warmup"))
+def forward_sparse_adaptive(
+    dm: DeviceModel,
+    codes: jnp.ndarray,
+    lens: jnp.ndarray,
+    n_top: int = 40,
+    n_warmup: int = 16,
+) -> AdaptiveTables:
+    """Sparse-adaptive forward storing per-step active tables.
+
+    The first ``n_warmup`` positions run DENSE (exact) before compacting the
+    table to the top active set and continuing sparsely — the analog of the
+    reference's dense warmup region with adaptive early-switch
+    (ref: forward.rs:119-138; params.rs n_warmup).  Stored per-step tables
+    are always the compacted top-A view.
+    """
+    from .forward import _f_init, _f_step
+
+    B, L = codes.shape
+    n = dm.init_logp.shape[0]
+    A = min(n_top * (dm.child_idx.shape[1] + 1), n)
+    dtype = dm.init_logp.dtype
+    W = min(n_warmup, L)
+    pos = jnp.arange(L, dtype=lens.dtype)
+
+    # phase 1: dense warmup, storing compacted top-A tables
+    d0 = _f_init(B, n, dtype)
+
+    def dense_body(st, xs):
+        x, p = xs
+        valid = p < lens
+        st1 = _f_step(dm, st, x, valid, renorm=True)
+        comp = _dense_to_sparse(st1, A)
+        return st1, (comp.nodes, comp.m, comp.i, comp.d, comp.off)
+
+    dfinal, dense_ys = jax.lax.scan(
+        dense_body, d0, (codes[:, :W].T, pos[:W])
+    )
+    st_sparse = _dense_to_sparse(dfinal, A)
+
+    # phase 2: sparse-adaptive continuation
+    def body(st, xs):
+        x, p = xs
+        valid = p < lens
+        cur = _next_active(dm, st, n_top)[:, :A]
+        st1 = _s_step(dm, st, cur, x, valid, renorm=True)
+        return st1, (st1.nodes, st1.m, st1.i, st1.d, st1.off)
+
+    st, sparse_ys = jax.lax.scan(
+        body, st_sparse, (codes[:, W:].T, pos[W:])
+    )
+    ns, ms, is_, ds, offs = [
+        jnp.concatenate([a, b], axis=0) for a, b in zip(dense_ys, sparse_ys)
+    ]
+    return AdaptiveTables(nodes=ns, m=ms, i=is_, d=ds, off=offs, e=st.e + st.off)
+
+
+class BCarry(NamedTuple):
+    nodes: jnp.ndarray  # [B, A]
+    m: jnp.ndarray
+    i: jnp.ndarray
+    d: jnp.ndarray
+    ib: jnp.ndarray  # [B]
+    off: jnp.ndarray
+    off_c: jnp.ndarray
+
+
+def _b_step_sparse(dm: DeviceModel, st: BCarry, cur_nodes: jnp.ndarray,
+                   x: jnp.ndarray, valid: jnp.ndarray) -> BCarry:
+    """Backward step restricted to forward's active cells
+    (ref: backward.rs:216-261 with active nodes from forward)."""
+    lt = dm.lt
+    slot_ok = cur_nodes >= 0
+    safe = jnp.where(slot_ok, cur_nodes, 0)
+    child_idx = dm.child_idx[safe]  # [B, A, D]
+    child_logt = jnp.where(slot_ok[:, :, None], dm.child_logt[safe], NEG)
+    emis_child = dm.emission[jnp.where(child_idx >= 0, child_idx, 0)]
+    p_emit_child = jnp.where(emis_child == x[:, None, None], lt.match, lt.mismatch)
+
+    bm_next = _gather_prev(child_idx, st.nodes, st.m)  # [B, A, D]
+    bi_self = _gather_self(cur_nodes, st.nodes, st.i)  # [B, A]
+
+    # bd closure
+    bd0 = _lse_last(child_logt + lt.DM + p_emit_child + bm_next)
+    bd0 = _ladd(bd0, lt.DI + lt.random + bi_self)
+    d_new = bd0
+    bdt = bd0
+    for _ in range(dm.n_max_gaps):
+        bdt = _lse_last(child_logt + lt.DD + _gather_prev(child_idx, cur_nodes, bdt))
+        d_new = _ladd(d_new, bdt)
+
+    bd_child = _gather_prev(child_idx, cur_nodes, d_new)  # [B, A, D]
+
+    m_new = _lse_last(
+        child_logt + _ladd(lt.MM + p_emit_child + bm_next, lt.MD + bd_child)
+    )
+    m_new = _ladd(m_new, lt.MI + lt.random + bi_self)
+    i_new = _lse_last(
+        child_logt + _ladd(lt.IM + p_emit_child + bm_next, lt.ID + bd_child)
+    )
+    i_new = _ladd(i_new, lt.II + lt.random + bi_self)
+
+    ib_new = jnp.full_like(st.ib, NEG)  # not tracked sparsely (only needed
+    # for begin-state full prob, which the mapping does not use)
+
+    m_new = jnp.where(slot_ok, m_new, NEG)
+    i_new = jnp.where(slot_ok, i_new, NEG)
+    d_new = jnp.where(slot_ok, d_new, NEG)
+
+    shift = jnp.max(m_new, axis=-1)
+    shift = jnp.where(jnp.isfinite(shift) & valid, shift, 0.0)
+    m_new = m_new - shift[:, None]
+    i_new = i_new - shift[:, None]
+    d_new = d_new - shift[:, None]
+    off, off_c = st.off, st.off_c
+    y = shift - off_c
+    t = off + y
+    off_c = (t - off) - y
+    off = t
+
+    v1 = valid[:, None]
+    return BCarry(
+        nodes=jnp.where(v1, cur_nodes, st.nodes),
+        m=jnp.where(v1, m_new, st.m),
+        i=jnp.where(v1, i_new, st.i),
+        d=jnp.where(v1, d_new, st.d),
+        ib=jnp.where(valid, ib_new, st.ib),
+        off=jnp.where(valid, off, st.off),
+        off_c=jnp.where(valid, off_c, st.off_c),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_top", "n_active"))
+def mappings_sparse_adaptive(
+    dm: DeviceModel,
+    codes: jnp.ndarray,
+    lens: jnp.ndarray,
+    n_top: int = 40,
+    n_active: int = 40,
+):
+    """Sparse forward + backward-by-forward + per-position top-k decode.
+
+    Returns (logp [B], node_freq_nodes [L,B,A], node_freq_vals [L,B,A] linear,
+    map_nodes [B, L, n_active], map_logp [B, L, n_active]).
+
+    The S table at merged index i pairs F[i] (stored forward tables) with
+    B[i] computed on the fly over F[i]'s active cells
+    (ref: backward.rs:101-142 backward_by_forward, table.rs:500-517).
+    """
+    B, L = codes.shape
+    dtype = dm.init_logp.dtype
+    f = forward_sparse_adaptive(dm, codes, lens, n_top=n_top)
+    A = f.nodes.shape[2]
+    logp = f.e
+
+    xs_rev_idx = lens[:, None] - 1 - jnp.arange(L)[None, :]
+    idx_safe = jnp.clip(xs_rev_idx, 0, L - 1)
+    xs_rev = jnp.where(
+        xs_rev_idx >= 0,
+        jnp.take_along_axis(codes, idx_safe, axis=1),
+        -1,
+    )
+
+    z = jnp.zeros((B,), dtype=dtype)
+    # B[n] init: m=i=d=p_end on all nodes -> represent on the final forward
+    # active set (the only cells S[n] needs)
+    final_nodes = jnp.take_along_axis(
+        f.nodes, jnp.clip(lens - 1, 0, L - 1)[None, :, None], axis=0
+    )[0]
+    pe = jnp.where(final_nodes >= 0, dm.lt.end, NEG).astype(dtype)
+    b0 = BCarry(
+        nodes=final_nodes, m=pe, i=pe, d=pe,
+        ib=jnp.full((B,), NEG, dtype=dtype), off=z, off_c=z,
+    )
+
+    pos = jnp.arange(L, dtype=lens.dtype)
+
+    def body(carry, xs):
+        bst, _ = carry
+        x, t = xs
+        valid = t < lens
+        i_merge = lens - 1 - t  # merged index of the B table being produced
+        # B[i] lives on F[i]'s active cells = forward tables at scan index
+        # i-1 (tables[j] = F[j+1]); for i=0 use F[1]'s set (S[0] is
+        # begin-state only, contributes no node mapping)
+        i_f = jnp.clip(i_merge - 1, 0, L - 1)
+        cur_nodes = jnp.take_along_axis(
+            f.nodes, i_f[None, :, None], axis=0
+        )[0]
+        bst1 = _b_step_sparse(dm, bst, cur_nodes, x, valid)
+        # S[i] = F[i] * B[i] / P on these cells
+        fm = jnp.take_along_axis(f.m, i_f[None, :, None], axis=0)[0]
+        fi = jnp.take_along_axis(f.i, i_f[None, :, None], axis=0)[0]
+        fd = jnp.take_along_axis(f.d, i_f[None, :, None], axis=0)[0]
+        foff = jnp.take_along_axis(f.off, i_f[None, :], axis=0)[0]
+        is_init = i_merge <= 0
+        scale = jnp.where(is_init, NEG, foff + bst1.off - logp)[:, None]
+        s_lin = (
+            jnp.exp(fm + bst1.m + scale)
+            + jnp.exp(fi + bst1.i + scale)
+            + jnp.exp(fd + bst1.d + scale)
+        )
+        s_log = jnp.where(s_lin > 0, jnp.log(jnp.maximum(s_lin, 1e-300)), NEG)
+        k = min(n_active, s_log.shape[1])
+        top_logp, top_slot = jax.lax.top_k(s_log, k)
+        top_nodes = jnp.take_along_axis(cur_nodes, top_slot, axis=1)
+        top_nodes = jnp.where(jnp.isfinite(top_logp), top_nodes, -1)
+        return (bst1, None), (top_logp, top_nodes, i_merge, valid)
+
+    (bf, _), (tops_logp, tops_nodes, i_merges, valids) = jax.lax.scan(
+        body, (b0, None), (xs_rev.T, pos)
+    )
+
+    # scatter mapping into read-position order: S index i -> read pos i-1
+    k = tops_logp.shape[2]
+    j_pos = i_merges - 1
+    ok = (j_pos >= 0) & valids
+    j_write = jnp.where(ok, j_pos, L)
+    map_logp = jnp.full((B, L, k), NEG, dtype=dtype)
+    map_nodes = jnp.full((B, L, k), -1, dtype=jnp.int32)
+    batch_ix = jnp.arange(B)[None, :].repeat(L, axis=0)
+    map_logp = map_logp.at[batch_ix, j_write].set(tops_logp, mode="drop")
+    map_nodes = map_nodes.at[batch_ix, j_write].set(tops_nodes, mode="drop")
+
+    # read position len-1: S[len] = F[len] * B_init(p_end)
+    fm_l = jnp.take_along_axis(f.m, jnp.clip(lens - 1, 0, L - 1)[None, :, None], axis=0)[0]
+    fi_l = jnp.take_along_axis(f.i, jnp.clip(lens - 1, 0, L - 1)[None, :, None], axis=0)[0]
+    fd_l = jnp.take_along_axis(f.d, jnp.clip(lens - 1, 0, L - 1)[None, :, None], axis=0)[0]
+    foff_l = jnp.take_along_axis(f.off, jnp.clip(lens - 1, 0, L - 1)[None, :], axis=0)[0]
+    scale_l = (foff_l + dm.lt.end - logp)[:, None]
+    s_last = (
+        jnp.exp(fm_l + scale_l) + jnp.exp(fi_l + scale_l) + jnp.exp(fd_l + scale_l)
+    )
+    s_last = jnp.where(final_nodes >= 0, s_last, 0.0)
+    s_last_log = jnp.where(s_last > 0, jnp.log(jnp.maximum(s_last, 1e-300)), NEG)
+    last_logp, last_slot = jax.lax.top_k(s_last_log, k)
+    last_nodes = jnp.take_along_axis(final_nodes, last_slot, axis=1)
+    last_nodes = jnp.where(jnp.isfinite(last_logp), last_nodes, -1)
+    b_ar = jnp.arange(B)
+    j_last = jnp.where(lens > 0, lens - 1, L)
+    map_logp = map_logp.at[b_ar, j_last].set(last_logp, mode="drop")
+    map_nodes = map_nodes.at[b_ar, j_last].set(last_nodes, mode="drop")
+
+    return logp, map_nodes, map_logp

@@ -1,0 +1,75 @@
+"""Sparse-adaptive forward/backward vs dense oracle
+(ref: tests/hmm.rs sparse==dense oracle; forward.rs:621-638)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dbgphmm_tpu.multi_dbg import MultiDbg
+from dbgphmm_tpu.ops import forward_scores, node_freqs_and_mappings, pad_reads, to_device
+from dbgphmm_tpu.ops.adaptive import forward_sparse_adaptive, mappings_sparse_adaptive
+from dbgphmm_tpu.phmm import PHMMParams
+from dbgphmm_tpu.phmm.model import linear_random_phmm
+from dbgphmm_tpu.seq.collection import StyledSequence
+from dbgphmm_tpu.seq.random_seq import generate
+
+
+def test_adaptive_forward_score_matches_dense():
+    m = linear_random_phmm(300, 0, PHMMParams.default())
+    dm = to_device(m, dtype=jnp.float64)
+    seq = generate(300, 0)
+    reads = [seq[20:220], seq[100:290]]
+    codes, lens = pad_reads(reads)
+    dense = forward_scores(dm, jnp.asarray(codes), jnp.asarray(lens), renorm=False)
+    f = forward_sparse_adaptive(dm, jnp.asarray(codes), jnp.asarray(lens), n_top=40)
+    diff = np.abs(np.asarray(f.e) - np.asarray(dense))
+    # sparse drops negligible mass (ref oracle: < 1e-9 per cell at these sizes)
+    assert np.all(diff < 1e-6), diff
+
+
+def test_adaptive_mappings_match_dense_mappings():
+    m = linear_random_phmm(200, 1, PHMMParams.default())
+    dm = to_device(m, dtype=jnp.float64)
+    seq = generate(200, 1)
+    reads = [seq[10:150]]
+    codes, lens = pad_reads(reads)
+    _lp, _f, mn_dense, _ml = node_freqs_and_mappings(
+        dm, jnp.asarray(codes), jnp.asarray(lens), renorm=False, n_active=5
+    )
+    lp, mn_sparse, ml_sparse = mappings_sparse_adaptive(
+        dm, jnp.asarray(codes), jnp.asarray(lens), n_top=40, n_active=5
+    )
+    a = np.asarray(mn_dense)[0]
+    b = np.asarray(mn_sparse)[0]
+    L = int(lens[0])
+    # top-1 node agrees at (almost) every position; top-5 sets mostly agree
+    top1_agree = np.mean(a[:L, 0] == b[:L, 0])
+    assert top1_agree > 0.98, top1_agree
+    set_overlap = np.mean(
+        [len(set(a[j]) & set(b[j])) / 5.0 for j in range(L)]
+    )
+    assert set_overlap > 0.9, set_overlap
+
+
+def test_adaptive_on_dbg():
+    """Mapping generation on a repeat DBG feeds the scoring kernel."""
+    from dbgphmm_tpu.ops.sparse import forward_scores_mapped
+
+    seq = b"TTAGGCTTCGATCGAATGCCTTAGGCTT"
+    dbg = MultiDbg.from_styled_seqs(8, [StyledSequence.linear(seq)])
+    model = dbg.to_phmm(PHMMParams.uniform(0.001), mode="non_zero")
+    dm = to_device(model, dtype=jnp.float64)
+    reads = [seq[2:26], seq[0:20]]
+    codes, lens = pad_reads(reads)
+    lp, mn, ml = mappings_sparse_adaptive(
+        dm, jnp.asarray(codes), jnp.asarray(lens), n_top=10, n_active=8
+    )
+    assert np.all(np.isfinite(np.asarray(lp)))
+    # use the mapping to score with the normal model
+    model_n = dbg.to_phmm(PHMMParams.uniform(0.001))
+    dmn = to_device(model_n, dtype=jnp.float64)
+    s_mapped = forward_scores_mapped(
+        dmn, jnp.asarray(codes), jnp.asarray(lens), mn, renorm=True
+    )
+    s_dense = forward_scores(dmn, jnp.asarray(codes), jnp.asarray(lens), renorm=False)
+    assert np.all(np.abs(np.asarray(s_mapped) - np.asarray(s_dense)) < 0.1)
