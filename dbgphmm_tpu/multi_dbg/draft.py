@@ -14,6 +14,7 @@ import sys
 from typing import Callable, List, Optional, Sequence, Tuple
 
 from ..flow import FlowEdge, min_cost_flow_convex
+from ..flow.native import solve as flow_solve
 from ..graph.compact import compact_simple_paths
 from ..graph.digraph import DiGraph
 from ..graph.utils import split_node
@@ -35,6 +36,7 @@ def v1_error(freqs: Sequence[float]) -> Callable[[int], float]:
     def cost(c: int) -> float:
         return sum((c - f) ** 2 for f in freqs)
 
+    cost._native_spec = (1, 0.0, list(freqs))
     return cost
 
 
@@ -44,6 +46,7 @@ def v2_error(freqs: Sequence[float]) -> Callable[[int], float]:
     def cost(c: int) -> float:
         return sum((1.0 - c / (f + 1e-7)) ** 2 for f in freqs)
 
+    cost._native_spec = (2, 0.0, list(freqs))
     return cost
 
 
@@ -55,6 +58,7 @@ def v4_error(freqs: Sequence[float]) -> Callable[[int], float]:
             (1.0 - c / (f + 1e-1)) ** 2 + (f / (c + 1e-1) - 1.0) ** 2 for f in freqs
         )
 
+    cost._native_spec = (3, 0.0, list(freqs))
     return cost
 
 
@@ -123,7 +127,7 @@ def hashdbg_with_mse_copy_nums(
 ) -> HashDbg:
     """(ref: hashdbg.rs:547-573)"""
     net, kmer_map = hashdbg_to_mse_network(hd, coverage, n_haplotypes, "V1")
-    copy_nums = min_cost_flow_convex(net)
+    copy_nums = flow_solve(net)
     assert copy_nums is not None, "mse flow network cannot be solved"
     out: List[Tuple[bytes, int]] = []
     for e in range(net.n_edges()):
@@ -192,7 +196,7 @@ def min_squared_error_copy_nums_from_freqs(
     net = mse_network_from_freqs(
         dbg, freqs, coverage, tc, n_haplotypes, False, "V4"
     )
-    copy_nums = min_cost_flow_convex(net)
+    copy_nums = flow_solve(net)
     assert copy_nums is not None, "mse flow network cannot be solved"
     return copy_nums[: dbg.n_edges_compact()]
 
