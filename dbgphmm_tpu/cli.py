@@ -178,6 +178,117 @@ def cmd_sim_infer(args):
     print(f"# assembled={len(haps)} truth={len(truth)} exact={haps == truth}")
 
 
+def cmd_sample(args):
+    """(ref: bin/sample.rs) Posterior sampling around a given DBG at fixed k."""
+    from .multi_dbg import output as out
+    from .multi_dbg.posterior import generate_mappings, sample_posterior
+    from .phmm.params import PHMMParams
+    from .seq.collection import ReadCollection
+
+    reads = ReadCollection.from_fasta(args.read_fasta)
+    dbg = out.from_dbg_file(args.dbg_input)
+    params = PHMMParams.uniform(args.p_error)
+    mappings = generate_mappings(dbg, params, reads)
+    post = sample_posterior(
+        dbg, params, reads, mappings, args.genome_size, args.genome_size_sigma,
+        max_iter=args.max_iter, rescue_only=not args.full, verbose=True,
+    )
+    out.to_post_file(post, f"{args.output_prefix}.post")
+    out.to_inspect_file(dbg, f"{args.output_prefix}.inspect", post)
+    print(f"# wrote {args.output_prefix}.post/.inspect "
+          f"({len(post.samples)} samples, best p={post.max_sample().score.p():.3f})")
+
+
+def cmd_mapping(args):
+    """(ref: bin/mapping.rs) Dump per-read per-base mapping tables."""
+    from .multi_dbg import output as out
+    from .multi_dbg.posterior import generate_mappings
+    from .phmm.params import PHMMParams
+    from .seq.collection import ReadCollection
+
+    reads = ReadCollection.from_fasta(args.read_fasta)
+    dbg = out.from_dbg_file(args.dbg_input)
+    maps = generate_mappings(
+        dbg, PHMMParams.uniform(args.p_error), reads, n_active=args.n_active
+    )
+    out.to_map_file(dbg, args.map_output, reads, maps)
+    print(f"# wrote {args.map_output}")
+
+
+def cmd_freq(args):
+    """(ref: bin/freq.rs) Node usage frequencies of reads on a DBG."""
+    from .multi_dbg import output as out
+    from .multi_dbg.posterior import generate_mappings
+    from .phmm.params import PHMMParams
+    from .seq.collection import ReadCollection
+
+    reads = ReadCollection.from_fasta(args.read_fasta)
+    dbg = out.from_dbg_file(args.dbg_input)
+    maps = generate_mappings(dbg, PHMMParams.uniform(args.p_error), reads)
+    freqs = maps.to_node_freqs(dbg.n_edges_full())
+    with open(args.output, "w") as f:
+        f.write("# edge_in_full\tkmer\tcopy_num\tfreq\n")
+        for e in range(dbg.n_edges_full()):
+            f.write(f"{e}\t{dbg.kmer_full(e).decode()}\t{dbg.copy_num(e)}\t{freqs[e]:.4f}\n")
+    print(f"# wrote {args.output}")
+
+
+def cmd_table(args):
+    """(ref: bin/table.rs) Per-read log-likelihood table under a DBG."""
+    import jax.numpy as jnp
+
+    from .multi_dbg import output as out
+    from .ops import forward_scores, pad_reads, to_device
+    from .phmm.params import PHMMParams
+    from .seq.collection import ReadCollection
+
+    reads = ReadCollection.from_fasta(args.read_fasta)
+    dbg = out.from_dbg_file(args.dbg_input)
+    model = dbg.to_phmm(PHMMParams.uniform(args.p_error))
+    dm = to_device(model, dtype=jnp.float64)
+    codes, lens = pad_reads(list(reads))
+    scores = forward_scores(dm, jnp.asarray(codes), jnp.asarray(lens), renorm=True)
+    import numpy as np
+
+    total = 0.0
+    for i, s in enumerate(np.asarray(scores)):
+        print(f"read {i}\tlen={lens[i]}\tlogP={float(s):.4f}")
+        total += float(s)
+    print(f"# total logP(R|X) = {total:.4f}")
+
+
+def cmd_edit_dist(args):
+    """(ref: bin/edit_dist.rs) Edit distance between assembly and truth."""
+    from .seq.io import parse_fasta
+    from .utils import edit_distance
+
+    a = sorted(seq for _n, _d, seq in parse_fasta(args.fasta_a))
+    b = sorted(seq for _n, _d, seq in parse_fasta(args.fasta_b))
+    print(f"# {len(a)} vs {len(b)} sequences")
+    for i, (x, y) in enumerate(zip(a, b)):
+        d = edit_distance(x, y)
+        print(f"pair {i}\tlen {len(x)} vs {len(y)}\tedit_dist={d}")
+
+
+def cmd_modify_dbg(args):
+    """(ref: bin/modify_dbg.rs) Apply an INSPECT sample's copy numbers."""
+    from .multi_dbg import output as out
+
+    dbg = out.from_dbg_file(args.dbg_input)
+    inspect = out.parse_inspect_file(args.inspect)
+    sample = inspect["samples"][args.sample_id]
+    dbg.set_copy_nums(sample["copy_nums"])
+    out.to_dbg_file(dbg, args.dbg_output)
+    print(f"# applied sample {args.sample_id} -> {args.dbg_output}")
+
+
+def cmd_speed_test(args):
+    """(ref: bin/speed_test.rs, hmmv2/speed.rs) Kernel micro-benchmarks."""
+    import bench  # repo-root bench module when run from repo; else inline
+
+    bench.main()
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="dbgphmm",
@@ -256,6 +367,53 @@ def build_parser() -> argparse.ArgumentParser:
     si.add_argument("--p0", type=float, default=0.8)
     si.add_argument("-I", "--max-iter", type=int, default=50)
     si.set_defaults(fn=cmd_sim_infer)
+
+    sp = sub.add_parser("sample", help="posterior sampling at fixed k")
+    sp.add_argument("-d", "--dbg-input", required=True)
+    sp.add_argument("-o", "--output-prefix", required=True)
+    sp.add_argument("-G", "--genome-size", type=int, required=True)
+    sp.add_argument("-S", "--genome-size-sigma", type=int, default=100)
+    sp.add_argument("-p", "--p-error", type=float, default=0.001)
+    sp.add_argument("-I", "--max-iter", type=int, default=50)
+    sp.add_argument("--full", action="store_true", help="full neighbor sets")
+    sp.add_argument("read_fasta")
+    sp.set_defaults(fn=cmd_sample)
+
+    mp = sub.add_parser("mapping", help="dump per-read mapping tables")
+    mp.add_argument("-d", "--dbg-input", required=True)
+    mp.add_argument("-p", "--p-error", type=float, default=0.001)
+    mp.add_argument("-n", "--n-active", type=int, default=40)
+    mp.add_argument("read_fasta")
+    mp.add_argument("-o", "--map-output", required=True)
+    mp.set_defaults(fn=cmd_mapping)
+
+    fr = sub.add_parser("freq", help="node usage frequencies")
+    fr.add_argument("-d", "--dbg-input", required=True)
+    fr.add_argument("-p", "--p-error", type=float, default=0.001)
+    fr.add_argument("read_fasta")
+    fr.add_argument("-o", "--output", required=True)
+    fr.set_defaults(fn=cmd_freq)
+
+    tb = sub.add_parser("table", help="per-read likelihood table")
+    tb.add_argument("-d", "--dbg-input", required=True)
+    tb.add_argument("-p", "--p-error", type=float, default=0.001)
+    tb.add_argument("read_fasta")
+    tb.set_defaults(fn=cmd_table)
+
+    ed = sub.add_parser("edit-dist", help="edit distance between FASTAs")
+    ed.add_argument("fasta_a")
+    ed.add_argument("fasta_b")
+    ed.set_defaults(fn=cmd_edit_dist)
+
+    md = sub.add_parser("modify-dbg", help="apply INSPECT sample copy numbers")
+    md.add_argument("-d", "--dbg-input", required=True)
+    md.add_argument("--inspect", required=True)
+    md.add_argument("--sample-id", type=int, default=0)
+    md.add_argument("-o", "--dbg-output", required=True)
+    md.set_defaults(fn=cmd_modify_dbg)
+
+    st = sub.add_parser("speed-test", help="kernel micro-benchmarks")
+    st.set_defaults(fn=cmd_speed_test)
 
     return p
 

@@ -381,3 +381,50 @@ def to_inspect_string(dbg: MultiDbg, posterior, copy_nums_true=None) -> str:
 
 def to_inspect_file(dbg: MultiDbg, path, posterior, copy_nums_true=None) -> None:
     _P(path).write_text(to_inspect_string(dbg, posterior, copy_nums_true))
+
+
+def parse_inspect_string(s: str) -> dict:
+    """Parse an INSPECT file into
+    ``{k, props: {...}, samples: [...], edges: [...]}``
+    (ref: posterior/output.rs:244-291 + scripts/dbgphmm.py parsers)."""
+    out = {"k": None, "props": {}, "samples": [], "edges": []}
+    for line in s.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        if len(parts) < 3:
+            continue
+        out["k"] = int(parts[0])
+        kind = parts[1]
+        if kind == "G":
+            out["props"][parts[2]] = parts[3]
+        elif kind == "C":
+            out["samples"].append(
+                dict(
+                    rank=int(parts[2]),
+                    posterior=float(parts[3]),
+                    likelihood=float(parts[4]),
+                    prior=float(parts[5]),
+                    n_euler_circuits=float(parts[6]),
+                    genome_size=int(parts[7]),
+                    diff_to_true=None if parts[8] == "?" else int(parts[8]),
+                    infos=parts[9],
+                    copy_nums=_parse_copy_nums(parts[10]),
+                )
+            )
+        elif kind == "E":
+            out["edges"].append(
+                dict(
+                    edge=parts[2],
+                    copy_num_true=None if parts[3] == "?" else int(parts[3]),
+                    mean=float(parts[4]),
+                    p_true=None if parts[5] == "?" else float(parts[5]),
+                    p_zero=float(parts[6]),
+                    dist=parts[7],
+                )
+            )
+    return out
+
+
+def parse_inspect_file(path) -> dict:
+    return parse_inspect_string(_P(path).read_text())

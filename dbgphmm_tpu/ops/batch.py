@@ -72,9 +72,12 @@ def candidate_log_likelihoods(
 
     Returns [n_candidates] float64.
     """
+    from .forward import pad_model
+
     C = len(models)
     pad = _bucket(C)
-    base = to_device(models[0], dtype=dtype)
+    models = [pad_model(m) for m in models]  # shared bucket (same topology)
+    base = to_device(models[0], dtype=dtype, pad=False)
     as_d = lambda arrs: jnp.asarray(np.stack(arrs), dtype=dtype)
     init = [m.init_logp for m in models] + [models[0].init_logp] * (pad - C)
     plogt = [m.parent_logt for m in models] + [models[0].parent_logt] * (pad - C)

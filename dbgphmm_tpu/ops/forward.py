@@ -76,7 +76,53 @@ jax.tree_util.register_dataclass(
 )
 
 
-def to_device(model: PHMMModel, dtype=jnp.float32) -> DeviceModel:
+def bucketize(n: int, ratio: float = 1.2, align: int = 128) -> int:
+    """Round n up to a geometric bucket aligned to TPU lanes, so jitted
+    kernels keep stable shapes as the graph grows across k (the
+    recompilation-discipline hard part, SURVEY.md section 7)."""
+    b = align
+    while b < n:
+        b = max(b + align, int(-(-b * ratio // align) * align))
+    return b
+
+
+def pad_model(model: PHMMModel, n_bucket: Optional[int] = None,
+              d_bucket: Optional[int] = None) -> PHMMModel:
+    """Pad node count / degree to buckets with inert entries (silent
+    emission, -inf probs, self-parents at node 0)."""
+    import dataclasses
+
+    n, D = model.parent_idx.shape
+    nb = n_bucket if n_bucket is not None else bucketize(n)
+    db = d_bucket if d_bucket is not None else (2 if D <= 2 else (5 if D <= 5 else bucketize(D, align=1)))
+    if nb == n and db == D:
+        return model
+
+    def pad_nodes(arr, fill):
+        out = np.full((nb,) + arr.shape[1:], fill, dtype=arr.dtype)
+        out[:n] = arr
+        return out
+
+    def pad_adj(idx, logt):
+        idx2 = np.zeros((nb, db), dtype=idx.dtype)
+        logt2 = np.full((nb, db), -np.inf, dtype=logt.dtype)
+        idx2[:n, :D] = idx
+        logt2[:n, :D] = logt
+        return idx2, logt2
+
+    pi, pl = pad_adj(model.parent_idx, model.parent_logt)
+    ci, cl = pad_adj(model.child_idx, model.child_logt)
+    return dataclasses.replace(
+        model,
+        emission=pad_nodes(model.emission, 4),
+        init_logp=pad_nodes(model.init_logp, -np.inf),
+        parent_idx=pi, parent_logt=pl, child_idx=ci, child_logt=cl,
+    )
+
+
+def to_device(model: PHMMModel, dtype=jnp.float32, pad: bool = True) -> DeviceModel:
+    if pad:
+        model = pad_model(model)
     logs = model.params.log_transitions()
     as_d = lambda v: jnp.asarray(v, dtype=dtype)
     lt = LogTrans(
@@ -481,6 +527,7 @@ def node_freqs_and_mappings(
         s_node_log = jnp.log(jnp.maximum(s_lin, 1e-300))
         s_node_log = jnp.where(s_lin > 0, s_node_log, NEG)
         top_logp, top_idx = jax.lax.top_k(s_node_log, n_active)
+        top_idx = jnp.where(jnp.isfinite(top_logp), top_idx, -1)
         return (bst1, freq), (top_logp, top_idx, i_merge, valid)
 
     (b_final, freqs), (tops_logp, tops_idx, i_merges, valids) = jax.lax.scan(
@@ -507,6 +554,7 @@ def node_freqs_and_mappings(
     # read position len-1 maps to merged index len: S[len] = F[len] * B_init
     s_last_log = jnp.where(s_last > 0, jnp.log(jnp.maximum(s_last, 1e-300)), NEG)
     last_logp, last_idx = jax.lax.top_k(s_last_log, n_active)
+    last_idx = jnp.where(jnp.isfinite(last_logp), last_idx, -1)
     b_ar = jnp.arange(B)
     j_last = jnp.where(lens > 0, lens - 1, L)
     map_logp = map_logp.at[b_ar, j_last].set(last_logp, mode="drop")

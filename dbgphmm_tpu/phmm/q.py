@@ -40,6 +40,10 @@ def q_score_exact(model, slot_freqs: np.ndarray, init_freqs: np.ndarray) -> QSco
       over reads), aligned with model.child_idx/child_logt
     * ``init_freqs`` [n]: Begin->v usages
     """
+    n = model.emission.shape[0]
+    # device freqs may be bucket-padded beyond the model's node count
+    slot_freqs = slot_freqs[:n, : model.child_idx.shape[1]]
+    init_freqs = init_freqs[:n]
     emit = model.emission < 4
     init_ok = emit & np.isfinite(model.init_logp)
     init = float(np.sum(init_freqs[init_ok] * model.init_logp[init_ok]))

@@ -21,8 +21,9 @@ def test_edge_freqs_linear_zero_error():
     slot_freqs, init_freqs, logp = trans_and_init_freqs(
         dm, jnp.asarray(codes), jnp.asarray(lens), renorm=False
     )
-    sf = np.asarray(slot_freqs)[0]
-    inf = np.asarray(init_freqs)[0]
+    n = len(seq)
+    sf = np.asarray(slot_freqs)[0][:n]
+    inf = np.asarray(init_freqs)[0][:n]
     # chain transitions (slot 0 of nodes 0..8) all ~1
     np.testing.assert_allclose(sf[:-1, 0], 1.0, atol=1e-6)
     # init: all mass at node 0
@@ -41,8 +42,8 @@ def test_edge_freqs_partial_read():
     slot_freqs, init_freqs, logp = trans_and_init_freqs(
         dm, jnp.asarray(codes), jnp.asarray(lens), renorm=False
     )
-    sf = np.asarray(slot_freqs)[0]
-    inf = np.asarray(init_freqs)[0]
+    sf = np.asarray(slot_freqs)[0][:len(seq)]
+    inf = np.asarray(init_freqs)[0][:len(seq)]
     # transitions 3->4..6->7 used ~1; 0->1 unused
     np.testing.assert_allclose(sf[3:7, 0], 1.0, atol=0.05)
     assert sf[0, 0] < 1e-3
