@@ -209,13 +209,14 @@ def to_prior(dbg: MultiDbg, genome_size_expected: int, genome_size_sigma: int) -
 
 
 def _phmm_models_for_candidates(
-    dbg: MultiDbg, params: PHMMParams, candidates: List[List[int]]
+    dbg: MultiDbg, params: PHMMParams, candidates: List[List[int]],
+    template=None,
 ):
     """Vectorized per-candidate PHMM arrays via a topology template
     (replaces per-candidate graph iteration; see phmm.template)."""
     from ..phmm.template import make_template
 
-    tpl = make_template(dbg, params)
+    tpl = template if template is not None else make_template(dbg, params)
     return [tpl.model_for(cn) for cn in candidates]
 
 
@@ -230,6 +231,8 @@ def score_candidates(
     lens=None,
     dtype=None,
     map_nodes=None,
+    positions=None,
+    template=None,
 ) -> List[Score]:
     """Evaluate Score for a batch of copy-number candidates: likelihoods on
     device (one vmapped launch — mapping-constrained when ``map_nodes`` is
@@ -242,9 +245,10 @@ def score_candidates(
         codes, lens = pad_reads(list(reads))
 
     t0 = time.time()
-    models = _phmm_models_for_candidates(dbg, params, candidates)
+    models = _phmm_models_for_candidates(dbg, params, candidates, template)
     lls = candidate_log_likelihoods(
-        models, codes, lens, dtype=dtype, map_nodes=map_nodes
+        models, codes, lens, dtype=dtype, map_nodes=map_nodes,
+        positions=positions,
     )
     t_like = time.time() - t0
 
@@ -293,13 +297,18 @@ def sample_posterior(
     infos: List[UpdateInfo] = []
     work = dbg.copy()
     codes, lens = pad_reads(list(reads))
+    from ..phmm.template import make_template
+
+    template = make_template(dbg, params)
     map_nodes = None
+    positions = None
     if mappings is not None:
         freqs = mappings.to_node_freqs(dbg.n_edges_full())
-        from ..ops.sparse import pad_mappings
+        from ..ops.sparse import pad_mappings, precompute_positions
 
         width = max((n.shape[1] for n in mappings.nodes if n.size), default=8)
         map_nodes = pad_mappings(mappings, codes.shape[1], width)
+        positions = precompute_positions(map_nodes, template.parent_idx)
     else:
         freqs = np.ones(dbg.n_edges_full())
     coverage = sum(len(r) for r in reads) / genome_size_expected
@@ -323,7 +332,7 @@ def sample_posterior(
         scores = score_candidates(
             work, params, reads, [cn for cn, _i in uniq],
             genome_size_expected, genome_size_sigma, codes, lens, dtype,
-            map_nodes=map_nodes,
+            positions=positions, template=template,
         )
         for (cn, info), sc in zip(uniq, scores):
             post.add(PosteriorSample(cn, sc, infos_init + [info]))
@@ -331,7 +340,8 @@ def sample_posterior(
     # initial score
     init_scores = score_candidates(
         work, params, reads, [copy_nums], genome_size_expected,
-        genome_size_sigma, codes, lens, dtype, map_nodes=map_nodes,
+        genome_size_sigma, codes, lens, dtype,
+        positions=positions, template=template,
     )
     post.add(PosteriorSample(copy_nums, init_scores[0], []))
 
@@ -381,7 +391,7 @@ def sample_posterior(
                     scores = score_candidates(
                         work, params, reads, [cur], genome_size_expected,
                         genome_size_sigma, codes, lens, dtype,
-                        map_nodes=map_nodes,
+                        positions=positions, template=template,
                     )
                     post.add(PosteriorSample(cur, scores[0], infos + [mm_info]))
 
@@ -474,11 +484,14 @@ def infer_posterior_by_extension(
         if dbg.k >= k_max:
             break
 
+        t0 = time.time()
         dbg, paths, _m = purge_and_extend_with_posterior(
             dbg, posterior, k_max, p0, paths, None
         )
-        log(f"extended to k={dbg.k}")
+        log(f"extended to k={dbg.k} in {time.time()-t0:.1f}s")
+        t0 = time.time()
         mappings = generate_mappings(dbg, param_error, reads, dtype=dtype)
+        log(f"mappings regenerated in {time.time()-t0:.1f}s")
         freqs = mappings.to_node_freqs(dbg.n_edges_full())
         # reference hardcodes Some(2) haplotypes here (posterior.rs:798);
         # we only fix the count when a terminal node exists

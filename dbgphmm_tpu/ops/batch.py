@@ -56,12 +56,27 @@ def _scores_vmapped_mapped(dm: DeviceModel, init_b, plogt_b, clogt_b, codes,
     return jax.vmap(one)(init_b, plogt_b, clogt_b)  # [C, B]
 
 
+@jax.jit
+def _scores_vmapped_mapped_pos(dm: DeviceModel, init_b, plogt_b, clogt_b,
+                               codes, lens, mn, pp, cp, sp):
+    from .sparse import forward_scores_mapped_pos
+
+    def one(init_logp, parent_logt, child_logt):
+        dmc = dataclasses.replace(
+            dm, init_logp=init_logp, parent_logt=parent_logt, child_logt=child_logt
+        )
+        return forward_scores_mapped_pos(dmc, codes, lens, mn, pp, cp, sp)
+
+    return jax.vmap(one)(init_b, plogt_b, clogt_b)  # [C, B]
+
+
 def candidate_log_likelihoods(
     models: Sequence[PHMMModel],
     codes: np.ndarray,
     lens: np.ndarray,
     dtype=jnp.float64,
     map_nodes: np.ndarray = None,
+    positions=None,
 ) -> np.ndarray:
     """Total log P(R|X_c) = sum over reads of log P(read|X_c), for each
     candidate model (same topology, different probabilities).
@@ -82,7 +97,14 @@ def candidate_log_likelihoods(
     init = [m.init_logp for m in models] + [models[0].init_logp] * (pad - C)
     plogt = [m.parent_logt for m in models] + [models[0].parent_logt] * (pad - C)
     clogt = [m.child_logt for m in models] + [models[0].child_logt] * (pad - C)
-    if map_nodes is not None:
+    if positions is not None:
+        per_read = _scores_vmapped_mapped_pos(
+            base, as_d(init), as_d(plogt), as_d(clogt),
+            jnp.asarray(codes), jnp.asarray(lens),
+            jnp.asarray(positions.map_nodes), jnp.asarray(positions.prev_pos),
+            jnp.asarray(positions.cur_pos), jnp.asarray(positions.self_pos),
+        )
+    elif map_nodes is not None:
         per_read = _scores_vmapped_mapped(
             base, as_d(init), as_d(plogt), as_d(clogt),
             jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(map_nodes),

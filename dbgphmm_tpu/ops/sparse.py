@@ -184,6 +184,200 @@ def forward_scores_mapped(
     return st.e + st.off
 
 
+class MappedPositions(NamedTuple):
+    """Host-precomputed slot positions for the mapped kernel.
+
+    The active sets are fixed per (read, position) during candidate scoring,
+    so "which slot of the previous step holds my parent" is precomputed once
+    per k instead of equality-matched on device every step (kills the O(A'^2)
+    broadcast):
+
+    * prev_pos [B, L, A, D]: slot in step l-1 holding parent d of slot a
+      (-1 if absent; step 0 has no previous -> all -1)
+    * cur_pos  [B, L, A, D]: slot in step l   holding parent d of slot a
+      (for the in-step deletion closure)
+    """
+
+    map_nodes: np.ndarray  # [B, L, A] int32
+    prev_pos: np.ndarray  # [B, L, A, D] int16
+    cur_pos: np.ndarray  # [B, L, A, D] int16
+    self_pos: np.ndarray  # [B, L, A] int16: slot in step l-1 holding this node
+
+
+def precompute_positions(
+    map_nodes: np.ndarray, parent_idx: np.ndarray, chunk: int = 64
+) -> MappedPositions:
+    """Build MappedPositions on host (vectorized numpy, chunked over L)."""
+    B, L, A = map_nodes.shape
+    D = parent_idx.shape[1]
+    prev_pos = np.full((B, L, A, D), -1, dtype=np.int16)
+    cur_pos = np.full((B, L, A, D), -1, dtype=np.int16)
+    self_pos = np.full((B, L, A), -1, dtype=np.int16)
+
+    safe = np.where(map_nodes >= 0, map_nodes, 0)
+    parents = parent_idx[safe]  # [B, L, A, D]
+    parents = np.where(map_nodes[..., None] >= 0, parents, -2)
+
+    for l0 in range(0, L, chunk):
+        l1 = min(l0 + chunk, L)
+        p = parents[:, l0:l1]  # [B, c, A, D]
+        cur = map_nodes[:, l0:l1]  # [B, c, A]
+        # position of p within cur (same step)
+        eq = p[..., None] == cur[:, :, None, None, :]  # [B, c, A, D, A]
+        has = eq.any(axis=-1)
+        pos = eq.argmax(axis=-1).astype(np.int16)
+        cur_pos[:, l0:l1] = np.where(has, pos, -1)
+        # position of p within previous step's set
+        if l0 == 0:
+            prev = np.concatenate(
+                [np.full((B, 1, A), -3, dtype=map_nodes.dtype), cur[:, :-1]],
+                axis=1,
+            )
+        else:
+            prev = map_nodes[:, l0 - 1 : l1 - 1]
+        eq = p[..., None] == prev[:, :, None, None, :]
+        has = eq.any(axis=-1)
+        pos = eq.argmax(axis=-1).astype(np.int16)
+        prev_pos[:, l0:l1] = np.where(has, pos, -1)
+        # self positions: node of slot a at step l within step l-1's set
+        cur_valid = np.where(cur >= 0, cur, -2)
+        eq = cur_valid[..., None] == prev[:, :, None, :]
+        has = eq.any(axis=-1)
+        pos = eq.argmax(axis=-1).astype(np.int16)
+        self_pos[:, l0:l1] = np.where(has, pos, -1)
+    return MappedPositions(
+        map_nodes=map_nodes.astype(np.int32), prev_pos=prev_pos, cur_pos=cur_pos,
+        self_pos=self_pos,
+    )
+
+
+def _gather_pos(vals: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """vals [B, A'], pos [B, A, D] (-1 = absent) -> [B, A, D]."""
+    safe = jnp.where(pos >= 0, pos, 0).astype(jnp.int32)
+    out = jnp.take_along_axis(
+        vals[:, None, :].repeat(pos.shape[1], axis=1), safe, axis=2
+    )
+    return jnp.where(pos >= 0, out, NEG)
+
+
+def _s_step_pos(dm: DeviceModel, st, cur_nodes, prev_pos, cur_pos, self_pos, x, valid):
+    """Mapped forward step using precomputed positions (renormalized)."""
+    lt = dm.lt
+    slot_ok = cur_nodes >= 0
+    safe_nodes = jnp.where(slot_ok, cur_nodes, 0)
+    par_logt = jnp.where(slot_ok[:, :, None], dm.parent_logt[safe_nodes], NEG)
+    init_lp = jnp.where(slot_ok, dm.init_logp[safe_nodes], NEG)
+    emis = dm.emission[safe_nodes]
+    p_emit = jnp.where(emis == x[:, None], lt.match, lt.mismatch)
+
+    pm = _gather_pos(st.m, prev_pos)
+    pi = _gather_pos(st.i, prev_pos)
+    pd = _gather_pos(st.d, prev_pos)
+    inner = _ladd3(lt.MM + pm, lt.IM + pi, lt.DM + pd)
+    from_normal = _lse_last(par_logt + inner)
+    from_begin = init_lp + _ladd(lt.MM + st.mb, lt.IM + st.ib)[:, None]
+    m_new = p_emit + _ladd(from_normal, from_begin)
+
+    # fi: self transition via precomputed self positions
+    sp = self_pos
+    sp_safe = jnp.where(sp >= 0, sp, 0).astype(jnp.int32)
+    sv = lambda tab: jnp.where(
+        sp >= 0, jnp.take_along_axis(tab, sp_safe, axis=1), NEG
+    )
+    i_new = lt.random + _ladd3(lt.MI + sv(st.m), lt.II + sv(st.i), lt.DI + sv(st.d))
+
+    mb_new = jnp.full_like(st.mb, NEG)
+    ib_new = lt.random + _ladd(lt.MI + st.mb, lt.II + st.ib)
+
+    fm_par = _gather_pos(m_new, cur_pos)
+    fi_par = _gather_pos(i_new, cur_pos)
+    fd0 = _lse_last(par_logt + _ladd(lt.MD + fm_par, lt.ID + fi_par))
+    fd0 = _ladd(fd0, init_lp + _ladd(lt.MD + mb_new, lt.ID + ib_new)[:, None])
+    d_new = fd0
+    fdt = fd0
+    for _ in range(dm.n_max_gaps):
+        fdt = _lse_last(par_logt + lt.DD + _gather_pos(fdt, cur_pos))
+        d_new = _ladd(d_new, fdt)
+
+    m_new = jnp.where(slot_ok, m_new, NEG)
+    i_new = jnp.where(slot_ok, i_new, NEG)
+    d_new = jnp.where(slot_ok, d_new, NEG)
+    e_new = lt.end + _lse_last(_ladd3(m_new, i_new, d_new))
+
+    shift = jnp.max(m_new, axis=-1)
+    shift = jnp.where(jnp.isfinite(shift) & valid, shift, 0.0)
+    m_new = m_new - shift[:, None]
+    i_new = i_new - shift[:, None]
+    d_new = d_new - shift[:, None]
+    mb_new = mb_new - shift
+    ib_new = ib_new - shift
+    e_new = e_new - shift
+    y = shift - st.off_c
+    t = st.off + y
+    off_c = (t - st.off) - y
+    off = t
+
+    v1 = valid[:, None]
+    return SState(
+        nodes=jnp.where(v1, cur_nodes, st.nodes),
+        m=jnp.where(v1, m_new, st.m),
+        i=jnp.where(v1, i_new, st.i),
+        d=jnp.where(v1, d_new, st.d),
+        mb=jnp.where(valid, mb_new, st.mb),
+        ib=jnp.where(valid, ib_new, st.ib),
+        e=jnp.where(valid, e_new, st.e),
+        off=jnp.where(valid, off, st.off),
+        off_c=jnp.where(valid, off_c, st.off_c),
+    )
+
+
+@jax.jit
+def forward_scores_mapped_pos(
+    dm: DeviceModel,
+    codes: jnp.ndarray,
+    lens: jnp.ndarray,
+    map_nodes: jnp.ndarray,  # [B, L, A]
+    prev_pos: jnp.ndarray,  # [B, L, A, D]
+    cur_pos: jnp.ndarray,  # [B, L, A, D]
+    self_pos: jnp.ndarray,  # [B, L, A]
+) -> jnp.ndarray:
+    """Position-precomputed mapped forward (production candidate scorer)."""
+    B, L = codes.shape
+    A = map_nodes.shape[2]
+    dtype = dm.init_logp.dtype
+    z = jnp.zeros((B,), dtype=dtype)
+    st0 = SState(
+        nodes=jnp.full((B, A), -1, dtype=jnp.int32),
+        m=jnp.full((B, A), NEG, dtype=dtype),
+        i=jnp.full((B, A), NEG, dtype=dtype),
+        d=jnp.full((B, A), NEG, dtype=dtype),
+        mb=z,
+        ib=jnp.full((B,), NEG, dtype=dtype),
+        e=jnp.full((B,), NEG, dtype=dtype),
+        off=z,
+        off_c=z,
+    )
+    pos = jnp.arange(L, dtype=lens.dtype)
+
+    def body(st, xs):
+        x, nodes_t, pp, cp, sp, p = xs
+        valid = p < lens
+        return _s_step_pos(dm, st, nodes_t, pp, cp, sp, x, valid), None
+
+    st, _ = jax.lax.scan(
+        body, st0,
+        (
+            codes.T,
+            jnp.swapaxes(map_nodes, 0, 1),
+            jnp.swapaxes(prev_pos, 0, 1),
+            jnp.swapaxes(cur_pos, 0, 1),
+            jnp.swapaxes(self_pos, 0, 1),
+            pos,
+        ),
+    )
+    return st.e + st.off
+
+
 def pad_mappings(mappings, L: int, n_active: int) -> np.ndarray:
     """Stack per-read mapping node arrays into [B, L, A] with -1 padding."""
     B = mappings.n_reads()
