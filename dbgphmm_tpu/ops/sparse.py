@@ -204,10 +204,128 @@ class MappedPositions(NamedTuple):
     self_pos: np.ndarray  # [B, L, A] int16: slot in step l-1 holding this node
 
 
+@jax.jit
+def _positions_chunk(p, cur, prev):
+    """p [B,c,A,D], cur/prev [B,c,A] -> (cur_pos, prev_pos, self_pos)."""
+
+    def find(query, ref):
+        # query [..., X], ref [..., A'] -> position of query in ref or -1
+        eq = query[..., None] == ref[..., None, :]
+        has = jnp.any(eq, axis=-1)
+        pos = jnp.argmax(eq, axis=-1).astype(jnp.int16)
+        return jnp.where(has, pos, -1)
+
+    cur_pos = find(p, cur[:, :, None, :])
+    prev_pos = find(p, prev[:, :, None, :])
+    self_pos = find(
+        jnp.where(cur >= 0, cur, -2), prev
+    )
+    return cur_pos, prev_pos, self_pos
+
+
+def precompute_positions_device(
+    map_nodes: np.ndarray, parent_idx: np.ndarray, chunk: int = 256
+) -> MappedPositions:
+    """Device-side variant (slower than numpy in practice on this platform;
+    kept for reference)."""
+    B, L, A = map_nodes.shape
+    D = parent_idx.shape[1]
+    prev_pos = np.empty((B, L, A, D), dtype=np.int16)
+    cur_pos = np.empty((B, L, A, D), dtype=np.int16)
+    self_pos = np.empty((B, L, A), dtype=np.int16)
+
+    safe = np.where(map_nodes >= 0, map_nodes, 0)
+    parents = parent_idx[safe]
+    parents = np.where(map_nodes[..., None] >= 0, parents, -2)
+    prev_all = np.concatenate(
+        [np.full((B, 1, A), -3, dtype=map_nodes.dtype), map_nodes[:, :-1]], axis=1
+    )
+
+    # fixed chunk shapes for jit-cache stability: pad the tail chunk
+    for l0 in range(0, L, chunk):
+        l1 = min(l0 + chunk, L)
+        c = l1 - l0
+        sl = lambda arr: (
+            arr[:, l0 : l0 + chunk]
+            if c == chunk
+            else np.pad(arr[:, l0:l1], [(0, 0), (0, chunk - c)] + [(0, 0)] * (arr.ndim - 2), constant_values=-2)
+        )
+        cp, pp, sp = _positions_chunk(
+            jnp.asarray(sl(parents)), jnp.asarray(sl(map_nodes)),
+            jnp.asarray(sl(prev_all)),
+        )
+        cur_pos[:, l0:l1] = np.asarray(cp)[:, :c]
+        prev_pos[:, l0:l1] = np.asarray(pp)[:, :c]
+        self_pos[:, l0:l1] = np.asarray(sp)[:, :c]
+    return MappedPositions(
+        map_nodes=map_nodes.astype(np.int32), prev_pos=prev_pos, cur_pos=cur_pos,
+        self_pos=self_pos,
+    )
+
+
+_POS_LIB = None
+_POS_TRIED = False
+
+
+def _load_pos_lib():
+    global _POS_LIB, _POS_TRIED
+    if _POS_TRIED:
+        return _POS_LIB
+    _POS_TRIED = True
+    import ctypes
+    import subprocess
+    from pathlib import Path
+
+    cpp = Path(__file__).resolve().parent.parent.parent / "cpp" / "positions.cpp"
+    so = Path(__file__).resolve().parent / "_libdbgpos.so"
+    try:
+        if not so.exists() or so.stat().st_mtime < cpp.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", str(cpp), "-o", str(so)],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(str(so))
+        lib.dbg_precompute_positions.restype = ctypes.c_int
+        lib.dbg_precompute_positions.argtypes = [
+            ctypes.c_int32] * 5 + [
+            np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int16), np.ctypeslib.ndpointer(np.int16),
+            np.ctypeslib.ndpointer(np.int16),
+        ]
+        _POS_LIB = lib
+    except Exception:
+        _POS_LIB = None
+    return _POS_LIB
+
+
+def _precompute_positions_native(
+    map_nodes: np.ndarray, parent_idx: np.ndarray
+) -> MappedPositions:
+    lib = _load_pos_lib()
+    if lib is None:
+        raise RuntimeError("native positions lib unavailable")
+    B, L, A = map_nodes.shape
+    n, D = parent_idx.shape
+    mn = np.ascontiguousarray(map_nodes, dtype=np.int32)
+    pi = np.ascontiguousarray(parent_idx, dtype=np.int32)
+    prev_pos = np.empty((B, L, A, D), dtype=np.int16)
+    cur_pos = np.empty((B, L, A, D), dtype=np.int16)
+    self_pos = np.empty((B, L, A), dtype=np.int16)
+    rc = lib.dbg_precompute_positions(B, L, A, D, n, mn, pi, prev_pos, cur_pos, self_pos)
+    if rc != 0:
+        raise RuntimeError(f"native positions failed rc={rc}")
+    return MappedPositions(mn, prev_pos, cur_pos, self_pos)
+
+
 def precompute_positions(
     map_nodes: np.ndarray, parent_idx: np.ndarray, chunk: int = 64
 ) -> MappedPositions:
-    """Build MappedPositions on host (vectorized numpy, chunked over L)."""
+    """Build MappedPositions. Uses the native C++ builder when available,
+    else vectorized numpy chunked over L."""
+    try:
+        return _precompute_positions_native(map_nodes, parent_idx)
+    except Exception:
+        pass
     B, L, A = map_nodes.shape
     D = parent_idx.shape[1]
     prev_pos = np.full((B, L, A, D), -1, dtype=np.int16)
@@ -252,11 +370,13 @@ def precompute_positions(
 
 
 def _gather_pos(vals: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """vals [B, A'], pos [B, A, D] (-1 = absent) -> [B, A, D]."""
-    safe = jnp.where(pos >= 0, pos, 0).astype(jnp.int32)
-    out = jnp.take_along_axis(
-        vals[:, None, :].repeat(pos.shape[1], axis=1), safe, axis=2
-    )
+    """vals [..., A'], pos [..., A, D] (-1 = absent) -> [..., A, D].
+
+    Flattened take_along_axis — no [A, A'] broadcast materialization."""
+    lead = pos.shape[:-2]
+    A, D = pos.shape[-2:]
+    safe = jnp.where(pos >= 0, pos, 0).astype(jnp.int32).reshape(*lead, A * D)
+    out = jnp.take_along_axis(vals, safe, axis=-1).reshape(*lead, A, D)
     return jnp.where(pos >= 0, out, NEG)
 
 
