@@ -39,9 +39,8 @@ def cmd_raw_dbg(args):
     hd = HashDbg.from_fragment_seqs(args.k, reads)
     hd.remove_rare_kmers(args.min_count)
     hd.remove_deadends(args.min_deadend_count)
-    dbg = MultiDbg.from_hashdbg(hd, ignore_copy_num=True)
-    out.to_gfa_file(dbg, args.gfa_output)
-    print(f"# wrote {args.gfa_output}")
+    hd.to_gfa_file(args.gfa_output)
+    print(f"# wrote {args.gfa_output} ({hd.n()} kmers)")
 
 
 def cmd_draft(args):
@@ -282,6 +281,32 @@ def cmd_modify_dbg(args):
     print(f"# applied sample {args.sample_id} -> {args.dbg_output}")
 
 
+def cmd_sample_from_true(args):
+    """(ref: bin/sample_from_true.rs) Posterior sampling around the TRUE
+    copy numbers of a dataset's genome -- checks that the truth is a local
+    optimum and how the posterior mass spreads around it."""
+    from .e2e import Dataset
+    from .multi_dbg import MultiDbg
+    from .multi_dbg import output as out
+    from .multi_dbg.posterior import generate_mappings, sample_posterior
+
+    ds = Dataset.from_json_file(args.dataset_json)
+    dbg = MultiDbg.from_styled_seqs(args.k, list(ds.genome))
+    print(f"# true DBG: {dbg}")
+    mappings = generate_mappings(dbg, ds.params, ds.reads)
+    post = sample_posterior(
+        dbg, ds.params, ds.reads, mappings, ds.genome_size(),
+        args.genome_size_sigma, max_iter=args.max_iter,
+        rescue_only=False, verbose=True,
+    )
+    true_cn = dbg.get_copy_nums()
+    best = post.max_copy_nums()
+    print(f"# truth is argmax: {best == true_cn}")
+    out.to_inspect_file(dbg, f"{args.output_prefix}.inspect", post, true_cn)
+    out.to_post_file(post, f"{args.output_prefix}.post")
+    print(f"# wrote {args.output_prefix}.inspect/.post")
+
+
 def cmd_speed_test(args):
     """(ref: bin/speed_test.rs, hmmv2/speed.rs) Kernel micro-benchmarks."""
     import bench  # repo-root bench module when run from repo; else inline
@@ -411,6 +436,14 @@ def build_parser() -> argparse.ArgumentParser:
     md.add_argument("--sample-id", type=int, default=0)
     md.add_argument("-o", "--dbg-output", required=True)
     md.set_defaults(fn=cmd_modify_dbg)
+
+    sft = sub.add_parser("sample-from-true", help="posterior around the true DBG")
+    sft.add_argument("dataset_json")
+    sft.add_argument("-k", type=int, required=True)
+    sft.add_argument("-S", "--genome-size-sigma", type=int, default=100)
+    sft.add_argument("-I", "--max-iter", type=int, default=10)
+    sft.add_argument("-o", "--output-prefix", required=True)
+    sft.set_defaults(fn=cmd_sample_from_true)
 
     st = sub.add_parser("speed-test", help="kernel micro-benchmarks")
     st.set_defaults(fn=cmd_speed_test)

@@ -218,3 +218,36 @@ class HashDbg:
         for c in self.kmers.values():
             stats[c] = stats.get(c, 0) + 1
         return stats
+
+    # -- GFA output (ref: hashdbg.rs:597-660 to_gfa_writer) -------------------
+
+    def to_gfa_string(self) -> str:
+        """GFA of the raw count graph: one segment per compacted unitig with
+        average count in DP, links at branch nodes.  Works on uncleaned
+        graphs (no k-mer-string recovery via graph walk needed — the k-mers
+        are stored)."""
+        from .graph.compact import compact_simple_paths
+        from . import kmer as km
+
+        full = self.to_graph(lambda km1: km1, lambda kmer: kmer)
+        cg, _nm = compact_simple_paths(full)
+        lines = []
+        for e in range(cg.n_edges()):
+            path = cg.edge(e)  # [(orig_edge, kmer)]
+            kmers = [w for _o, w in path]
+            seq = km.kmers_join(kmers)
+            counts = [self.get(x) for x in kmers]
+            dp = sum(counts) / len(counts) if counts else 0.0
+            lines.append(
+                f"S\t{e}\t{seq.decode('ascii')}\tDP:f:{dp:.1f}\tLN:i:{len(seq)}"
+            )
+        for v in range(cg.n_nodes()):
+            for in_e, _p, _w in cg.parents(v):
+                for out_e, _c, _w2 in cg.childs(v):
+                    lines.append(f"L\t{in_e}\t+\t{out_e}\t+\t{self.k - 1}M")
+        return "\n".join(lines) + "\n"
+
+    def to_gfa_file(self, path) -> None:
+        from pathlib import Path
+
+        Path(path).write_text(self.to_gfa_string())
