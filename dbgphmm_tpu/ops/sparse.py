@@ -498,6 +498,185 @@ def forward_scores_mapped_pos(
     return st.e + st.off
 
 
+# -- scaled-linear mapped forward ---------------------------------------------
+#
+# The log-space step spends its time in logaddexp transcendentals.  Because
+# every step renormalizes by the per-read max anyway, the tables can live in
+# LINEAR space scaled to max=1: the recursion becomes pure multiply-add (VPU
+# fast), with ONE log per read per step for the offset.  States more than
+# ~87 log units below the per-step max flush to zero in f32 — a strictly
+# tighter cutoff than the active-set itself (score ratio 30,
+# ref: params.rs active_node_max_ratio), so accuracy matches the sparse DP.
+
+
+class LinTrans(NamedTuple):
+    """Linear-space transition/emission constants."""
+
+    MM: jnp.ndarray
+    IM: jnp.ndarray
+    DM: jnp.ndarray
+    MI: jnp.ndarray
+    II: jnp.ndarray
+    DI: jnp.ndarray
+    MD: jnp.ndarray
+    ID: jnp.ndarray
+    DD: jnp.ndarray
+    match: jnp.ndarray
+    mismatch: jnp.ndarray
+    random: jnp.ndarray
+    end: jnp.ndarray
+
+
+def _lin_trans(lt) -> LinTrans:
+    return LinTrans(*[jnp.exp(getattr(lt, f)) for f in LinTrans._fields])
+
+
+class LinState(NamedTuple):
+    m: jnp.ndarray  # [B, A] linear, scaled so max ~ 1
+    i: jnp.ndarray
+    d: jnp.ndarray
+    mb: jnp.ndarray  # [B] linear at current scale
+    ib: jnp.ndarray
+    e: jnp.ndarray
+    off: jnp.ndarray  # [B] cumulative log scale
+    off_c: jnp.ndarray  # Kahan compensation
+
+
+def _gather_pos_lin(vals: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Linear-space positional gather: absent -> 0."""
+    lead = pos.shape[:-2]
+    A, D = pos.shape[-2:]
+    safe = jnp.where(pos >= 0, pos, 0).astype(jnp.int32).reshape(*lead, A * D)
+    out = jnp.take_along_axis(vals, safe, axis=-1).reshape(*lead, A, D)
+    return jnp.where(pos >= 0, out, 0.0)
+
+
+def _s_step_lin(ltl: LinTrans, emission, init_p, par_t,
+                st: LinState, cur_nodes, prev_pos, cur_pos, self_pos,
+                x, valid, n_max_gaps: int):
+    """One linear-space mapped step.
+
+    * emission [n] int32, init_p [n] linear, par_t [n, D] linear
+    * all table math is multiply-add; one log per read for the offset
+    """
+    slot_ok = cur_nodes >= 0
+    safe_nodes = jnp.where(slot_ok, cur_nodes, 0)
+    pt = jnp.where(slot_ok[:, :, None], par_t[safe_nodes], 0.0)  # [B, A, D]
+    ip = jnp.where(slot_ok, init_p[safe_nodes], 0.0)  # [B, A]
+    emis = emission[safe_nodes]
+    p_emit = jnp.where(emis == x[:, None], ltl.match, ltl.mismatch)
+
+    pm = _gather_pos_lin(st.m, prev_pos)
+    pi = _gather_pos_lin(st.i, prev_pos)
+    pd = _gather_pos_lin(st.d, prev_pos)
+    inner = ltl.MM * pm + ltl.IM * pi + ltl.DM * pd
+    from_normal = jnp.sum(pt * inner, axis=-1)
+    from_begin = ip * (ltl.MM * st.mb + ltl.IM * st.ib)[:, None]
+    m_new = p_emit * (from_normal + from_begin)
+
+    sp_safe = jnp.where(self_pos >= 0, self_pos, 0).astype(jnp.int32)
+    sv = lambda tab: jnp.where(
+        self_pos >= 0, jnp.take_along_axis(tab, sp_safe, axis=1), 0.0
+    )
+    i_new = ltl.random * (ltl.MI * sv(st.m) + ltl.II * sv(st.i) + ltl.DI * sv(st.d))
+
+    mb_new = jnp.zeros_like(st.mb)
+    ib_new = ltl.random * (ltl.MI * st.mb + ltl.II * st.ib)
+
+    fm_par = _gather_pos_lin(m_new, cur_pos)
+    fi_par = _gather_pos_lin(i_new, cur_pos)
+    fd0 = jnp.sum(pt * (ltl.MD * fm_par + ltl.ID * fi_par), axis=-1)
+    fd0 = fd0 + ip * (ltl.MD * mb_new + ltl.ID * ib_new)[:, None]
+    d_new = fd0
+    fdt = fd0
+    for _ in range(n_max_gaps):
+        fdt = jnp.sum(pt * (ltl.DD * _gather_pos_lin(fdt, cur_pos)), axis=-1)
+        d_new = d_new + fdt
+
+    m_new = jnp.where(slot_ok, m_new, 0.0)
+    i_new = jnp.where(slot_ok, i_new, 0.0)
+    d_new = jnp.where(slot_ok, d_new, 0.0)
+    e_new = ltl.end * jnp.sum(m_new + i_new + d_new, axis=-1)
+
+    scale = jnp.max(m_new, axis=-1)
+    scale = jnp.where((scale > 0) & valid, scale, 1.0)
+    inv = 1.0 / scale
+    m_new = m_new * inv[:, None]
+    i_new = i_new * inv[:, None]
+    d_new = d_new * inv[:, None]
+    mb_new = mb_new * inv
+    ib_new = ib_new * inv
+    e_new = e_new * inv
+    shift = jnp.log(scale)
+    y = shift - st.off_c
+    t = st.off + y
+    off_c = (t - st.off) - y
+    off = t
+
+    v1 = valid[:, None]
+    return LinState(
+        m=jnp.where(v1, m_new, st.m),
+        i=jnp.where(v1, i_new, st.i),
+        d=jnp.where(v1, d_new, st.d),
+        mb=jnp.where(valid, mb_new, st.mb),
+        ib=jnp.where(valid, ib_new, st.ib),
+        e=jnp.where(valid, e_new, st.e),
+        off=jnp.where(valid, off, st.off),
+        off_c=jnp.where(valid, off_c, st.off_c),
+    )
+
+
+@jax.jit
+def forward_scores_mapped_linear(
+    dm: DeviceModel,
+    codes: jnp.ndarray,
+    lens: jnp.ndarray,
+    map_nodes: jnp.ndarray,
+    prev_pos: jnp.ndarray,
+    cur_pos: jnp.ndarray,
+    self_pos: jnp.ndarray,
+) -> jnp.ndarray:
+    """Scaled-linear mapped forward score (production scorer)."""
+    B, L = codes.shape
+    A = map_nodes.shape[2]
+    dtype = dm.init_logp.dtype
+    ltl = _lin_trans(dm.lt)
+    init_p = jnp.exp(dm.init_logp)
+    par_t = jnp.exp(dm.parent_logt)
+    z = jnp.zeros((B,), dtype=dtype)
+    st0 = LinState(
+        m=jnp.zeros((B, A), dtype=dtype),
+        i=jnp.zeros((B, A), dtype=dtype),
+        d=jnp.zeros((B, A), dtype=dtype),
+        mb=jnp.ones((B,), dtype=dtype),
+        ib=z,
+        e=z,
+        off=z,
+        off_c=z,
+    )
+    pos = jnp.arange(L, dtype=lens.dtype)
+
+    def body(st, xs):
+        x, nodes_t, pp, cp, sp, p = xs
+        valid = p < lens
+        st1 = _s_step_lin(
+            ltl, dm.emission, init_p, par_t, st, nodes_t, pp, cp, sp, x,
+            valid, dm.n_max_gaps,
+        )
+        return st1, None
+
+    st, _ = jax.lax.scan(
+        body, st0,
+        (
+            codes.T, jnp.swapaxes(map_nodes, 0, 1),
+            jnp.swapaxes(prev_pos, 0, 1), jnp.swapaxes(cur_pos, 0, 1),
+            jnp.swapaxes(self_pos, 0, 1), pos,
+        ),
+    )
+    e_safe = jnp.where(st.e > 0, st.e, 1e-300)
+    return jnp.where(st.e > 0, jnp.log(e_safe) + st.off, NEG)
+
+
 def pad_mappings(mappings, L: int, n_active: int) -> np.ndarray:
     """Stack per-read mapping node arrays into [B, L, A] with -1 padding."""
     B = mappings.n_reads()
