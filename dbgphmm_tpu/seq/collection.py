@@ -218,6 +218,29 @@ class ReadCollection:
 
     # -- SAM/PAF-ish ground-truth export (ref: collection.rs:622-724) ---------
 
+    def to_paf_lines(self, genome_lens: Optional[List[int]] = None) -> List[str]:
+        """PAF export of simulated read origins (ref: collection.rs:622-660
+        to_paf): qname qlen qstart qend strand tname tlen tstart tend
+        n_match aln_len mapq."""
+        lines = []
+        if self.positioned is None:
+            return lines
+        for i, pr in enumerate(self.positioned):
+            head = pr.head_origin()
+            tail = pr.tail_origin()
+            if not head.is_match():
+                continue
+            hap = head.haplotype
+            tlen = genome_lens[hap] if genome_lens else 0
+            tstart, tend = sorted((head.pos, tail.pos))
+            n_match = sum(1 for o in pr.origins if o.is_match())
+            strand = "-" if pr.is_revcomp else "+"
+            lines.append(
+                f"r{i}\t{len(pr.seq)}\t0\t{len(pr.seq)}\t{strand}\tg{hap}\t"
+                f"{tlen}\t{tstart}\t{tend + 1}\t{n_match}\t{len(pr.seq)}\t60"
+            )
+        return lines
+
     def to_sam_lines(self, genome_names: Optional[List[str]] = None) -> List[str]:
         """Minimal SAM-like export of simulated read origins."""
         lines = []
