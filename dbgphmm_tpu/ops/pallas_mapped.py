@@ -1,0 +1,351 @@
+"""Pallas full-scan mapped scoring kernel.
+
+The entire read scan runs inside ONE pallas_call: grid = (candidates,
+position-chunks), DP carries live in VMEM scratch persisting across the
+sequential grid, per-chunk streams are pipelined from HBM by BlockSpec index
+maps (Pallas double-buffers them automatically).
+
+The key enabler is the **compact-table trick**: all candidate dependence of
+the PHMM compresses to the copy-number vector over compact edges
+(``eff [C, NC]``, NC ~ 100s).  Per-slot transition/init probabilities are
+derived in-kernel from NC-lane gathers:
+
+    t_val[a]  = eff[num_ce[a]] / sum_d eff[den_ce[a, d]]
+    init_p[a] = eff[num_ce[a]] * inv_total[c]
+
+so the [n, D] model arrays never enter the kernel (wide VMEM gathers over
+n ~ 1e5 lanes are not supported by Mosaic; NC-lane gathers are).
+
+Math is the scaled-linear recursion of ``ops.sparse._s_step_lin`` (per-step
+max renormalization; multiply-add only; one log per read per step).
+
+Stream layouts (host-built by :func:`build_streams`): position-major with the
+D axis split out so every VMEM block is a clean [.., B, A] tile:
+
+    codes   [L, B]          int32
+    emis    [L, B, A]       int32  (emission code per slot; 9 = empty)
+    numce   [L, B, A]       int32  (compact edge id; NC = sentinel w/ eff 0)
+    selfp   [L, B, A]       int32  (slot in previous step holding this node)
+    prevp   [L, D, B, A]    int32  (slot of parent d in previous step)
+    curp    [L, D, B, A]    int32  (slot of parent d in current step)
+    dence   [L, D, B, A]    int32  (compact ids of src-node child edges)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .forward import DeviceModel
+
+NEG = -jnp.inf
+
+
+class MappedStreams(NamedTuple):
+    codes: np.ndarray  # [L, B] int32
+    emis: np.ndarray  # [L, B, A] int32
+    numce: np.ndarray  # [L, B, A] int32
+    selfp: np.ndarray  # [L, B, A] int32
+    prevp: np.ndarray  # [L, D, B, A] int32
+    curp: np.ndarray  # [L, D, B, A] int32
+    dence: np.ndarray  # [L, D, B, A] int32
+    lens: np.ndarray  # [B] int32
+    nc_pad: int  # padded compact-edge table width (sentinel = nc_pad-1)
+    emittable_len: np.ndarray  # [nc_pad] f32: #emittable kmers per compact edge
+
+
+def build_streams(
+    template,
+    positions,
+    codes: np.ndarray,
+    lens: np.ndarray,
+    dbg,
+    b_pad: int = 8,
+    a_pad: int = 64,
+) -> MappedStreams:
+    """Host-side stream construction from a PHMMTemplate + MappedPositions."""
+    mn = positions.map_nodes  # [B, L, A0]
+    B, L, A0 = mn.shape
+    D = template.parent_idx.shape[1]
+    A = max(a_pad, A0)
+    Bp = -(-B // b_pad) * b_pad
+
+    f2c = template.full_to_compact.astype(np.int32)
+    nc = int(f2c.max()) + 1 if f2c.size else 1
+    nc_pad = max(128, 1 << (nc + 1).bit_length())
+    SENT = nc_pad - 1
+
+    n = template.emission.shape[0]
+    # per full-edge tables
+    emit_ok = template.emittable
+    num_tab = np.where(emit_ok, f2c, SENT).astype(np.int32)
+    # child edges of the SOURCE node of each edge = sibling out-edges
+    src_out = np.full((template.n_nodes_graph, D), SENT, dtype=np.int32)
+    src_cnt = np.zeros(template.n_nodes_graph, dtype=np.int32)
+    for e in range(n):
+        v = template.src_node[e]
+        if emit_ok[e] and src_cnt[v] < D:
+            src_out[v, src_cnt[v]] = f2c[e]
+            src_cnt[v] += 1
+    den_tab = src_out[template.src_node]  # [n, D]
+
+    emit_code = np.where(emit_ok, template.emission.astype(np.int32), 9)
+
+    def pad_BA(arr, fill):
+        out = np.full((L, Bp, A), fill, dtype=np.int32)
+        out[:, :B, :A0] = arr
+        return out
+
+    mnT = np.swapaxes(mn, 0, 1)  # [L, B, A0]
+    ok = mnT >= 0
+    safe = np.where(ok, mnT, 0)
+
+    emis = pad_BA(np.where(ok, emit_code[safe], 9), 9)
+    numce = pad_BA(np.where(ok, num_tab[safe], SENT), SENT)
+    selfp = pad_BA(np.swapaxes(positions.self_pos, 0, 1).astype(np.int32), -1)
+
+    prevp = np.full((L, D, Bp, A), -1, dtype=np.int32)
+    curp = np.full((L, D, Bp, A), -1, dtype=np.int32)
+    dence = np.full((L, D, Bp, A), SENT, dtype=np.int32)
+    ppT = np.swapaxes(positions.prev_pos, 0, 1)  # [L, B, A0, D]
+    cpT = np.swapaxes(positions.cur_pos, 0, 1)
+    den_g = np.where(ok[..., None], den_tab[safe], SENT)  # [L, B, A0, D]
+    for d in range(D):
+        prevp[:, d, :B, :A0] = ppT[:, :, :, d]
+        curp[:, d, :B, :A0] = cpT[:, :, :, d]
+        dence[:, d, :B, :A0] = den_g[:, :, :, d]
+
+    codes_T = np.full((L, Bp), -1, dtype=np.int32)
+    codes_T[:, :B] = np.swapaxes(codes, 0, 1)
+    lens_p = np.zeros(Bp, dtype=np.int32)
+    lens_p[:B] = lens
+
+    # emittable kmer count per compact edge (for inv_total)
+    el = np.zeros(nc_pad, dtype=np.float32)
+    np.add.at(el, f2c[emit_ok], 1.0)
+    el[SENT] = 0.0
+
+    return MappedStreams(
+        codes=codes_T, emis=emis, numce=numce, selfp=selfp,
+        prevp=prevp, curp=curp, dence=dence, lens=lens_p,
+        nc_pad=nc_pad, emittable_len=el,
+    )
+
+
+def eff_tables(streams: MappedStreams, copy_num_candidates) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-candidate linear copy-number tables + 1/total_eff."""
+    C = len(copy_num_candidates)
+    eff = np.zeros((C, streams.nc_pad), dtype=np.float32)
+    for c, cn in enumerate(copy_num_candidates):
+        eff[c, : len(cn)] = np.asarray(cn, dtype=np.float32)
+        eff[c, streams.nc_pad - 1] = 0.0
+    total = eff @ streams.emittable_len  # [C]
+    inv_total = np.where(total > 0, 1.0 / np.maximum(total, 1e-30), 0.0)
+    return eff, inv_total.astype(np.float32)[:, None]
+
+
+def _make_kernel(TL: int, D: int, n_max_gaps: int, L: int):
+    """Build the kernel body (TL steps per grid invocation)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    n_chunks = L // TL
+
+    def kernel(lt_ref, eff_ref, invt_ref, lens_ref, codes_ref, emis_ref,
+               numce_ref, selfp_ref, prevp_ref, curp_ref, dence_ref, out_ref,
+               m_ref, i_ref, d_ref, aux_ref):
+        l_idx = pl.program_id(1)
+        (pMM, pIM, pDM, pMI, pII, pDI, pMD, pID, pDD,
+         p_match, p_mismatch, p_random, p_end) = [
+            lt_ref[0, i] for i in range(13)
+        ]
+
+        @pl.when(l_idx == 0)
+        def _init():
+            m_ref[:] = jnp.zeros_like(m_ref)
+            i_ref[:] = jnp.zeros_like(i_ref)
+            d_ref[:] = jnp.zeros_like(d_ref)
+            a = jnp.zeros_like(aux_ref)
+            aux_ref[:] = a.at[0].set(1.0)  # mb=1; ib,e,off,off_c = 0
+
+        eff = eff_ref[0]  # [NC]
+        inv_total = invt_ref[0, 0]
+        lens = lens_ref[0]  # [B]
+        B = lens.shape[0]
+
+        def gather_eff(idx):
+            # idx [B, A] -> eff values [B, A]
+            return jnp.take_along_axis(
+                jnp.broadcast_to(eff[None, :], (B, eff.shape[0])), idx, axis=1
+            )
+
+        def gather_tab(tab, idx):
+            safe = jnp.where(idx >= 0, idx, 0)
+            out = jnp.take_along_axis(tab, safe, axis=1)
+            return jnp.where(idx >= 0, out, 0.0)
+
+        for t in range(TL):
+            x = codes_ref[t]  # [B]
+            step = l_idx * TL + t
+            valid = (step < lens)  # [B]
+
+            emis = emis_ref[t]  # [B, A]
+            num = gather_eff(numce_ref[t])  # eff of slot's edge
+            den = jnp.zeros_like(num)
+            for dd in range(D):
+                den = den + gather_eff(dence_ref[t, dd])
+            t_val = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+            init_p = num * inv_total
+            p_emit = jnp.where(emis == x[:, None], p_match, p_mismatch)
+            p_emit = jnp.where(emis < 4, p_emit, 0.0)
+
+            m_prev = m_ref[:]
+            i_prev = i_ref[:]
+            d_prev = d_ref[:]
+            mb = aux_ref[0]  # [B]
+            ib = aux_ref[1]
+            e = aux_ref[2]
+            off = aux_ref[3]
+            off_c = aux_ref[4]
+
+            inner = jnp.zeros_like(m_prev)
+            for dd in range(D):
+                pp = prevp_ref[t, dd]
+                inner = inner + (
+                    pMM * gather_tab(m_prev, pp)
+                    + pIM * gather_tab(i_prev, pp)
+                    + pDM * gather_tab(d_prev, pp)
+                )
+            from_begin = init_p * (pMM * mb + pIM * ib)[:, None]
+            m_new = p_emit * (t_val * inner + from_begin)
+
+            sp = selfp_ref[t]
+            i_new = p_random * (
+                pMI * gather_tab(m_prev, sp)
+                + pII * gather_tab(i_prev, sp)
+                + pDI * gather_tab(d_prev, sp)
+            )
+
+            mb_new = jnp.zeros_like(mb)
+            ib_new = p_random * (pMI * mb + pII * ib)
+
+            acc = jnp.zeros_like(m_new)
+            for dd in range(D):
+                cp = curp_ref[t, dd]
+                acc = acc + (pMD * gather_tab(m_new, cp) + pID * gather_tab(i_new, cp))
+            fd0 = t_val * acc + init_p * (pMD * mb_new + pID * ib_new)[:, None]
+            d_new = fd0
+            fdt = fd0
+            for _ in range(n_max_gaps):
+                accd = jnp.zeros_like(fdt)
+                for dd in range(D):
+                    accd = accd + gather_tab(fdt, curp_ref[t, dd])
+                fdt = t_val * (pDD * accd)
+                d_new = d_new + fdt
+
+            e_new = p_end * jnp.sum(m_new + i_new + d_new, axis=-1)
+
+            scale = jnp.max(m_new, axis=-1)
+            scale = jnp.where((scale > 0) & valid, scale, 1.0)
+            inv = 1.0 / scale
+            m_new = m_new * inv[:, None]
+            i_new = i_new * inv[:, None]
+            d_new = d_new * inv[:, None]
+            ib_new = ib_new * inv
+            e_new = e_new * inv
+            shift = jnp.log(scale)
+            y = shift - off_c
+            tt = off + y
+            off_c2 = (tt - off) - y
+
+            v1 = valid[:, None]
+            m_ref[:] = jnp.where(v1, m_new, m_prev)
+            i_ref[:] = jnp.where(v1, i_new, i_prev)
+            d_ref[:] = jnp.where(v1, d_new, d_prev)
+            aux_ref[0] = jnp.where(valid, mb_new, mb)
+            aux_ref[1] = jnp.where(valid, ib_new, ib)
+            aux_ref[2] = jnp.where(valid, e_new, e)
+            aux_ref[3] = jnp.where(valid, tt, off)
+            aux_ref[4] = jnp.where(valid, off_c2, off_c)
+
+        @pl.when(l_idx == n_chunks - 1)
+        def _emit():
+            e = aux_ref[2]
+            off = aux_ref[3]
+            score = jnp.where(e > 0, jnp.log(jnp.where(e > 0, e, 1.0)) + off, -jnp.inf)
+            out_ref[0] = score
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("TL", "interpret", "n_max_gaps"))
+def pallas_mapped_scores(
+    eff: jnp.ndarray,  # [C, NC] f32
+    inv_total: jnp.ndarray,  # [C, 1] f32
+    lens: jnp.ndarray,  # [B] int32
+    codes: jnp.ndarray,  # [L, B] int32
+    emis: jnp.ndarray,  # [L, B, A]
+    numce: jnp.ndarray,
+    selfp: jnp.ndarray,
+    prevp: jnp.ndarray,  # [L, D, B, A]
+    curp: jnp.ndarray,
+    dence: jnp.ndarray,
+    lt_lin: jnp.ndarray,  # [13] linear params in LinTrans field order
+    n_max_gaps: int = 4,
+    TL: int = 8,
+    interpret: bool = False,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, NC = eff.shape
+    L, D, B, A = prevp.shape
+    assert L % TL == 0, "L must be a multiple of TL (pad reads)"
+    kernel = _make_kernel(TL, D, n_max_gaps, L)
+
+    grid = (C, L // TL)
+    bs = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 13), lambda c, l: (0, 0), memory_space=pltpu.SMEM),
+            bs((1, NC), lambda c, l: (c, 0)),
+            bs((1, 1), lambda c, l: (c, 0)),
+            bs((1, B), lambda c, l: (0, 0)),
+            bs((TL, B), lambda c, l: (l, 0)),
+            bs((TL, B, A), lambda c, l: (l, 0, 0)),
+            bs((TL, B, A), lambda c, l: (l, 0, 0)),
+            bs((TL, B, A), lambda c, l: (l, 0, 0)),
+            bs((TL, D, B, A), lambda c, l: (l, 0, 0, 0)),
+            bs((TL, D, B, A), lambda c, l: (l, 0, 0, 0)),
+            bs((TL, D, B, A), lambda c, l: (l, 0, 0, 0)),
+        ],
+        out_specs=bs((1, B), lambda c, l: (c, 0)),
+        out_shape=jax.ShapeDtypeStruct((C, B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((B, A), jnp.float32),
+            pltpu.VMEM((B, A), jnp.float32),
+            pltpu.VMEM((B, A), jnp.float32),
+            pltpu.VMEM((5, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        lt_lin.reshape(1, 13), eff, inv_total,
+        lens.reshape(1, B).astype(jnp.int32),
+        codes, emis, numce, selfp, prevp, curp, dence,
+    )
+    return out
+
+
+def lin_params_vector(dm: DeviceModel) -> jnp.ndarray:
+    """Linear transition constants in LinTrans field order."""
+    names = ["MM", "IM", "DM", "MI", "II", "DI", "MD", "ID", "DD",
+             "match", "mismatch", "random", "end"]
+    return jnp.asarray(
+        [float(jnp.exp(getattr(dm.lt, nm))) for nm in names], dtype=jnp.float32
+    )

@@ -318,10 +318,19 @@ def _precompute_positions_native(
 
 
 def precompute_positions(
-    map_nodes: np.ndarray, parent_idx: np.ndarray, chunk: int = 64
+    map_nodes: np.ndarray, parent_idx: np.ndarray, chunk: int = 64,
+    parent_exists: np.ndarray = None,
 ) -> MappedPositions:
     """Build MappedPositions. Uses the native C++ builder when available,
-    else vectorized numpy chunked over L."""
+    else vectorized numpy chunked over L.
+
+    ``parent_exists`` masks structurally-absent adjacency padding slots (they
+    hold node id 0 in the model arrays); when given, those parents resolve to
+    position -1 instead of possibly matching a real slot holding node 0.  The
+    log-space kernels are insensitive (the -inf parent_logt kills phantom
+    contributions) but the Pallas compact-table kernel requires the mask."""
+    if parent_exists is not None:
+        parent_idx = np.where(parent_exists, parent_idx, -9)
     try:
         return _precompute_positions_native(map_nodes, parent_idx)
     except Exception:

@@ -1,0 +1,84 @@
+"""Pallas full-scan mapped kernel vs the XLA positions kernel (interpret mode
+on CPU; the real-TPU run is exercised by bench/driver)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dbgphmm_tpu.multi_dbg import MultiDbg
+from dbgphmm_tpu.multi_dbg.posterior import generate_mappings
+from dbgphmm_tpu.multi_dbg.neighbors import to_short_neighbors
+from dbgphmm_tpu.ops import pad_reads, to_device
+from dbgphmm_tpu.ops.pallas_mapped import (
+    build_streams,
+    eff_tables,
+    lin_params_vector,
+    pallas_mapped_scores,
+)
+from dbgphmm_tpu.ops.sparse import (
+    forward_scores_mapped_pos,
+    pad_mappings,
+    precompute_positions,
+)
+from dbgphmm_tpu.phmm.params import PHMMParams
+from dbgphmm_tpu.phmm.template import make_template
+from dbgphmm_tpu.seq.collection import ReadCollection, StyledSequence
+
+
+@pytest.fixture(scope="module")
+def setup():
+    h1 = b"TTAGGCTTCGATCGAATGCCAGGTTACG"
+    h2 = b"TTAGGCTTGGATCGAATGCCAGGTTACG"
+    dbg = MultiDbg.from_styled_seqs(8, [StyledSequence.linear(h1), StyledSequence.linear(h2)])
+    params = PHMMParams.uniform(0.001)
+    reads = ReadCollection([h1[2:26], h2[3:27], h1[:24], h2[4:]])
+    maps = generate_mappings(dbg, params, reads, n_active=12)
+    codes, lens = pad_reads(list(reads), pad_to=32)  # multiple of TL=8
+    tpl = make_template(dbg, params)
+    mn = pad_mappings(maps, codes.shape[1], 12)
+    pos = precompute_positions(mn, tpl.parent_idx, parent_exists=tpl.parent_exists)
+    candidates = [dbg.get_copy_nums()] + [
+        cn for cn, _i in to_short_neighbors(dbg, 8, 2)[:3]
+    ]
+    return dbg, params, tpl, pos, codes, lens, candidates
+
+
+def test_pallas_matches_positions_kernel(setup):
+    dbg, params, tpl, pos, codes, lens, candidates = setup
+    streams = build_streams(tpl, pos, codes, lens, dbg)
+    eff, inv_total = eff_tables(streams, candidates)
+
+    dm32 = to_device(tpl.model_for(candidates[0]), dtype=jnp.float32)
+    ltv = lin_params_vector(dm32)
+
+    out = np.asarray(
+        pallas_mapped_scores(
+            jnp.asarray(eff), jnp.asarray(inv_total),
+            jnp.asarray(streams.lens),
+            jnp.asarray(streams.codes), jnp.asarray(streams.emis),
+            jnp.asarray(streams.numce), jnp.asarray(streams.selfp),
+            jnp.asarray(streams.prevp), jnp.asarray(streams.curp),
+            jnp.asarray(streams.dence), ltv,
+            n_max_gaps=params.n_max_gaps, TL=8, interpret=True,
+        )
+    )
+    B = codes.shape[0]
+    assert out.shape[1] >= B
+
+    # reference: per-candidate positions kernel (f64, log space)
+    for c, cn in enumerate(candidates):
+        work = dbg.copy()
+        work.set_copy_nums(cn)
+        dm = to_device(tpl.model_for(cn), dtype=jnp.float64)
+        ref = np.asarray(
+            forward_scores_mapped_pos(
+                dm, jnp.asarray(codes), jnp.asarray(lens),
+                jnp.asarray(pos.map_nodes), jnp.asarray(pos.prev_pos),
+                jnp.asarray(pos.cur_pos), jnp.asarray(pos.self_pos),
+            )
+        )
+        got = out[c, :B]
+        finite = np.isfinite(ref)
+        assert np.all(np.isfinite(got[finite])), (c, got, ref)
+        np.testing.assert_allclose(got[finite], ref[finite], atol=2e-3, rtol=1e-5)
