@@ -27,6 +27,15 @@ def main():
     import dataclasses
 
     import jax
+
+    # persistent compile cache: Mosaic remote compiles take minutes; cache
+    # them across bench invocations
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from dbgphmm_tpu.ops.forward import to_device
@@ -62,30 +71,74 @@ def main():
     ).astype(np.int32)
     pos = precompute_positions(mn, parent_idx)
 
-    @jax.jit
-    def scores(dm, init_b, plogt_b, codes, lens, mn, pp, cp, sp):
-        def one(init_logp, parent_logt):
-            dmc = dataclasses.replace(
-                dm, init_logp=init_logp, parent_logt=parent_logt
-            )
-            return forward_scores_mapped_pos(dmc, codes, lens, mn, pp, cp, sp)
+    def run_pallas():
+        """Pallas full-scan kernel (compact-table); the fast path."""
+        from dbgphmm_tpu.ops.pallas_mapped import (
+            build_streams, eff_tables, lin_params_vector, pallas_mapped_scores,
+        )
+        from dbgphmm_tpu.phmm.template import PHMMTemplate
 
-        return jax.vmap(one)(init_b, plogt_b)
+        parent_exists = np.zeros((n, D), dtype=bool)
+        parent_exists[1:, 0] = True
+        child_idx = np.zeros((n, D), dtype=np.int32)
+        child_exists = np.zeros((n, D), dtype=bool)
+        child_idx[:, 0] = np.minimum(np.arange(n) + 1, n - 1)
+        child_exists[:-1, 0] = True
+        NCreal = 120
+        f2c = (np.arange(n) * NCreal // n).astype(np.int32)
+        tpl = PHMMTemplate(
+            params=PHMMParams.uniform(0.001), emission=emission,
+            emittable=np.ones(n, bool), src_node=np.arange(n, dtype=np.int32),
+            full_to_compact=f2c, parent_idx=parent_idx,
+            parent_exists=parent_exists, child_idx=child_idx,
+            child_exists=child_exists, n_nodes_graph=n,
+        )
+        streams = build_streams(tpl, pos, codes, lens, None)
+        cands = [np.ones(NCreal, dtype=np.int64).tolist() for _ in range(C)]
+        eff, inv_total = eff_tables(streams, cands)
+        ltv = lin_params_vector(dm)
+        args = (jnp.asarray(eff), jnp.asarray(inv_total),
+                jnp.asarray(streams.lens), jnp.asarray(streams.codes),
+                jnp.asarray(streams.emis), jnp.asarray(streams.numce),
+                jnp.asarray(streams.selfp), jnp.asarray(streams.prevp),
+                jnp.asarray(streams.curp), jnp.asarray(streams.dence), ltv)
+        np.asarray(pallas_mapped_scores(*args, n_max_gaps=4, TL=8))
+        t0 = time.perf_counter()
+        out = np.asarray(pallas_mapped_scores(*args, n_max_gaps=4, TL=8))
+        dt = time.perf_counter() - t0
+        assert np.all(np.isfinite(out[:, : len(lens)]))
+        return dt, "pallas"
 
-    init_b = jnp.asarray(np.tile(init_logp[None], (C, 1)), dtype=jnp.float32)
-    plogt_b = jnp.asarray(np.tile(parent_logt[None], (C, 1, 1)), dtype=jnp.float32)
-    args = (
-        dm, init_b, plogt_b, jnp.asarray(codes), jnp.asarray(lens),
-        jnp.asarray(pos.map_nodes), jnp.asarray(pos.prev_pos),
-        jnp.asarray(pos.cur_pos), jnp.asarray(pos.self_pos),
-    )
-    # warmup/compile (np.asarray forces a real device round-trip; on the axon
-    # platform block_until_ready alone returns early)
-    np.asarray(scores(*args))
-    t0 = time.perf_counter()
-    out = np.asarray(scores(*args))
-    dt = time.perf_counter() - t0
-    assert np.all(np.isfinite(out)), "non-finite scores"
+    def run_xla():
+        @jax.jit
+        def scores(dm, init_b, plogt_b, codes, lens, mn, pp, cp, sp):
+            def one(init_logp, parent_logt):
+                dmc = dataclasses.replace(
+                    dm, init_logp=init_logp, parent_logt=parent_logt
+                )
+                return forward_scores_mapped_pos(dmc, codes, lens, mn, pp, cp, sp)
+
+            return jax.vmap(one)(init_b, plogt_b)
+
+        init_b = jnp.asarray(np.tile(init_logp[None], (C, 1)), dtype=jnp.float32)
+        plogt_b = jnp.asarray(np.tile(parent_logt[None], (C, 1, 1)), dtype=jnp.float32)
+        args = (
+            dm, init_b, plogt_b, jnp.asarray(codes), jnp.asarray(lens),
+            jnp.asarray(pos.map_nodes), jnp.asarray(pos.prev_pos),
+            jnp.asarray(pos.cur_pos), jnp.asarray(pos.self_pos),
+        )
+        np.asarray(scores(*args))
+        t0 = time.perf_counter()
+        out = np.asarray(scores(*args))
+        dt = time.perf_counter() - t0
+        assert np.all(np.isfinite(out))
+        return dt, "xla"
+
+    try:
+        dt, variant = run_pallas()
+    except Exception as e:
+        print(f"# pallas path failed ({type(e).__name__}), falling back", file=sys.stderr)
+        dt, variant = run_xla()
 
     reads_per_sec = C * B / dt
     print(
@@ -93,7 +146,7 @@ def main():
             {
                 "metric": "mapped_forward_read_scorings_per_sec_k10k",
                 "value": round(reads_per_sec, 1),
-                "unit": "10kb-read scorings/s (n=100k states, A=40, C=64 candidates)",
+                "unit": f"10kb-read scorings/s (n=100k states, A=40, C=64 candidates, {variant} kernel)",
                 "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 1),
             }
         )

@@ -84,13 +84,20 @@ def build_streams(
     emit_ok = template.emittable
     num_tab = np.where(emit_ok, f2c, SENT).astype(np.int32)
     # child edges of the SOURCE node of each edge = sibling out-edges
+    # (vectorized: stable-sort emittable edges by source node, then place
+    # each edge at its within-group rank)
     src_out = np.full((template.n_nodes_graph, D), SENT, dtype=np.int32)
-    src_cnt = np.zeros(template.n_nodes_graph, dtype=np.int32)
-    for e in range(n):
-        v = template.src_node[e]
-        if emit_ok[e] and src_cnt[v] < D:
-            src_out[v, src_cnt[v]] = f2c[e]
-            src_cnt[v] += 1
+    ee = np.nonzero(emit_ok)[0]
+    order = np.argsort(template.src_node[ee], kind="stable")
+    ee = ee[order]
+    srcs = template.src_node[ee]
+    # rank within equal-src runs
+    first = np.ones(len(ee), dtype=bool)
+    first[1:] = srcs[1:] != srcs[:-1]
+    run_start = np.maximum.accumulate(np.where(first, np.arange(len(ee)), 0))
+    rank = np.arange(len(ee)) - run_start
+    keep = rank < D
+    src_out[srcs[keep], rank[keep]] = f2c[ee[keep]]
     den_tab = src_out[template.src_node]  # [n, D]
 
     emit_code = np.where(emit_ok, template.emission.astype(np.int32), 9)
@@ -169,19 +176,28 @@ def _make_kernel(TL: int, D: int, n_max_gaps: int, L: int):
             m_ref[:] = jnp.zeros_like(m_ref)
             i_ref[:] = jnp.zeros_like(i_ref)
             d_ref[:] = jnp.zeros_like(d_ref)
-            a = jnp.zeros_like(aux_ref)
-            aux_ref[:] = a.at[0].set(1.0)  # mb=1; ib,e,off,off_c = 0
+            aux_ref[:] = jnp.zeros_like(aux_ref)
+            aux_ref[0] = jnp.ones_like(aux_ref[0])  # mb = 1
 
-        eff = eff_ref[0]  # [NC]
-        inv_total = invt_ref[0, 0]
+        eff = eff_ref[0, 0]  # [NC]
+        inv_total = invt_ref[0, 0, 0]
         lens = lens_ref[0]  # [B]
         B = lens.shape[0]
 
+        NC = eff.shape[0]
+
         def gather_eff(idx):
-            # idx [B, A] -> eff values [B, A]
-            return jnp.take_along_axis(
-                jnp.broadcast_to(eff[None, :], (B, eff.shape[0])), idx, axis=1
+            # idx [B, A] -> eff values [B, A].  Mosaic's dynamic gather only
+            # supports same-shape index/value tensors, so pad the index to NC
+            # lanes and slice back.
+            A_ = idx.shape[1]
+            idx_p = jnp.concatenate(
+                [idx, jnp.zeros((B, NC - A_), dtype=idx.dtype)], axis=1
             )
+            g = jnp.take_along_axis(
+                jnp.broadcast_to(eff[None, :], (B, NC)), idx_p, axis=1
+            )
+            return g[:, :A_]
 
         def gather_tab(tab, idx):
             safe = jnp.where(idx >= 0, idx, 0)
@@ -262,7 +278,8 @@ def _make_kernel(TL: int, D: int, n_max_gaps: int, L: int):
             tt = off + y
             off_c2 = (tt - off) - y
 
-            v1 = valid[:, None]
+            # Mosaic cannot reshape i1 vectors; go through int32
+            v1 = valid.astype(jnp.int32)[:, None] > 0
             m_ref[:] = jnp.where(v1, m_new, m_prev)
             i_ref[:] = jnp.where(v1, i_new, i_prev)
             d_ref[:] = jnp.where(v1, d_new, d_prev)
@@ -277,7 +294,7 @@ def _make_kernel(TL: int, D: int, n_max_gaps: int, L: int):
             e = aux_ref[2]
             off = aux_ref[3]
             score = jnp.where(e > 0, jnp.log(jnp.where(e > 0, e, 1.0)) + off, -jnp.inf)
-            out_ref[0] = score
+            out_ref[0, 0] = score
 
     return kernel
 
@@ -314,8 +331,8 @@ def pallas_mapped_scores(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 13), lambda c, l: (0, 0), memory_space=pltpu.SMEM),
-            bs((1, NC), lambda c, l: (c, 0)),
-            bs((1, 1), lambda c, l: (c, 0)),
+            bs((1, 1, NC), lambda c, l: (c, 0, 0)),
+            bs((1, 1, 1), lambda c, l: (c, 0, 0)),
             bs((1, B), lambda c, l: (0, 0)),
             bs((TL, B), lambda c, l: (l, 0)),
             bs((TL, B, A), lambda c, l: (l, 0, 0)),
@@ -325,8 +342,8 @@ def pallas_mapped_scores(
             bs((TL, D, B, A), lambda c, l: (l, 0, 0, 0)),
             bs((TL, D, B, A), lambda c, l: (l, 0, 0, 0)),
         ],
-        out_specs=bs((1, B), lambda c, l: (c, 0)),
-        out_shape=jax.ShapeDtypeStruct((C, B), jnp.float32),
+        out_specs=bs((1, 1, B), lambda c, l: (c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((C, 1, B), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((B, A), jnp.float32),
             pltpu.VMEM((B, A), jnp.float32),
@@ -335,11 +352,12 @@ def pallas_mapped_scores(
         ],
         interpret=interpret,
     )(
-        lt_lin.reshape(1, 13), eff, inv_total,
+        lt_lin.reshape(1, 13), eff.reshape(C, 1, NC),
+        inv_total.reshape(C, 1, 1),
         lens.reshape(1, B).astype(jnp.int32),
         codes, emis, numce, selfp, prevp, curp, dence,
     )
-    return out
+    return out.reshape(C, B)
 
 
 def lin_params_vector(dm: DeviceModel) -> jnp.ndarray:
