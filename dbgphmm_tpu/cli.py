@@ -27,6 +27,11 @@ def _setup_jax(use_cpu: bool):
     if use_cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
 
 
 def cmd_raw_dbg(args):
