@@ -81,11 +81,17 @@ class Mappings:
 DENSE_MAPPING_MAX_NODES = 4000
 
 
+MAPPING_WIDTH_DEFAULT = 64  # reference keeps up to MAX_ACTIVE_NODES=400 by
+# score ratio (table.rs:22, params.rs active_node_max_ratio); a fixed top-40
+# can drop the true path in repeat-ambiguous stretches and catastrophically
+# mis-score it (observed on u500(8) at k=63: one read -44k log units)
+
+
 def generate_mappings(
     dbg: MultiDbg,
     params: PHMMParams,
     reads,
-    n_active: int = 40,
+    n_active: int = MAPPING_WIDTH_DEFAULT,
     dtype=None,
 ) -> Mappings:
     """Posterior state decode on the non-zero PHMM -> per-base top-k nodes
