@@ -81,21 +81,41 @@ class Mappings:
 DENSE_MAPPING_MAX_NODES = 4000
 
 
-MAPPING_WIDTH_DEFAULT = 64  # reference keeps up to MAX_ACTIVE_NODES=400 by
-# score ratio (table.rs:22, params.rs active_node_max_ratio); a fixed top-40
-# can drop the true path in repeat-ambiguous stretches and catastrophically
-# mis-score it (observed on u500(8) at k=63: one read -44k log units)
+MAPPING_WIDTH_CAP = 128  # fixed-shape cap on mapping slots — the analog of
+# the reference's MAX_ACTIVE_NODES=400 (table.rs:22).  The *effective* width
+# is score-ratio selected (params.active_node_max_ratio=30, hint.rs:135-142):
+# a fixed top-40/64 can drop the true path in repeat-ambiguous stretches and
+# catastrophically mis-score it (observed on u500(8) at k=63: one read -44k
+# log units), while in unambiguous stretches a handful of slots suffice — the
+# arrays are trimmed to the observed max width after the ratio mask.
+
+ADAPTIVE_FRONTIER_TOP = 64  # top-K frontier cap of the sparse-adaptive
+# forward used for mapping generation (ref n_active_nodes=40, params.rs:116)
+
+
+def _trim_mapping_width(mn: np.ndarray, ml: np.ndarray, align: int = 16):
+    """Slice the fixed-cap mapping arrays [B, L, CAP] down to the observed
+    effective width (max valid slots per position), aligned up for shape
+    stability.  Slots are sorted by logp (top-k output), so valid entries are
+    a prefix of each row."""
+    valid = mn >= 0  # [B, L, CAP]
+    width = int(valid.sum(axis=2).max(initial=1))
+    width = max(width, 1)
+    width = min(-(-width // align) * align, mn.shape[2])
+    return mn[:, :, :width], ml[:, :, :width]
 
 
 def generate_mappings(
     dbg: MultiDbg,
     params: PHMMParams,
     reads,
-    n_active: int = MAPPING_WIDTH_DEFAULT,
+    n_active: int = MAPPING_WIDTH_CAP,
     dtype=None,
+    max_ratio: Optional[float] = "default",
 ) -> Mappings:
-    """Posterior state decode on the non-zero PHMM -> per-base top-k nodes
-    (ref: posterior.rs:609-637 generate_mappings; hint.rs:193-220).
+    """Posterior state decode on the non-zero PHMM -> per-base active nodes
+    by score ratio under a top-k cap (ref: posterior.rs:609-637
+    generate_mappings with use_max_ratio=true; hint.rs:193-220).
 
     Uses the dense forward/backward for small graphs (exact) and the
     sparse-adaptive kernel beyond DENSE_MAPPING_MAX_NODES (the reference's
@@ -104,23 +124,27 @@ def generate_mappings(
 
     if dtype is None:
         dtype = jnp.float64
+    if max_ratio == "default":
+        max_ratio = params.active_node_max_ratio
     model = dbg.to_phmm(params, mode="non_zero")
     dm = to_device(model, dtype=dtype)
     codes, lens = pad_reads(list(reads))
     if dbg.n_edges_full() <= DENSE_MAPPING_MAX_NODES:
         _logp, _freqs, map_nodes, map_logp = node_freqs_and_mappings(
             dm, jnp.asarray(codes), jnp.asarray(lens), renorm=True,
-            n_active=n_active,
+            n_active=n_active, max_ratio=max_ratio,
         )
     else:
         from ..ops.adaptive import mappings_sparse_adaptive
 
         _logp, map_nodes, map_logp = mappings_sparse_adaptive(
             dm, jnp.asarray(codes), jnp.asarray(lens),
-            n_top=n_active, n_active=n_active,
+            n_top=max(ADAPTIVE_FRONTIER_TOP, -(-n_active // 2)),
+            n_active=n_active, max_ratio=max_ratio,
         )
     mn = np.asarray(map_nodes)
     ml = np.asarray(map_logp)
+    mn, ml = _trim_mapping_width(mn, ml)
     nodes, logps = [], []
     for i, L in enumerate(lens):
         nodes.append(mn[i, :L].copy())

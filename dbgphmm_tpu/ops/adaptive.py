@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .forward import DeviceModel, NEG, _ladd, _ladd3
+from .forward import DeviceModel, NEG, _ladd, _ladd3, _ratio_mask
 from .sparse import SState, _gather_prev, _gather_self, _lse_last, _s_step
 
 
@@ -41,11 +41,19 @@ def _dedup_nodes(nodes: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(dup | (nodes < 0), -1, nodes)
 
 
-def _next_active(dm: DeviceModel, st: SState, n_top: int) -> jnp.ndarray:
+def _next_active(dm: DeviceModel, st: SState, n_top: int,
+                 max_ratio=None) -> jnp.ndarray:
     """top-K of previous table (merged m+i+d) -> children + selves
-    (ref: forward.rs:148 to_childs_and_us(top_nodes))."""
+    (ref: forward.rs:148 to_childs_and_us(top_nodes)).  With ``max_ratio``
+    the frontier is score-ratio selected under the top-K cap (ref:
+    forward.rs:112-115 top_nodes_by_score_ratio) — nodes more than
+    ``max_ratio`` log units below the per-read max are dropped, so junk
+    states stop spending slots on their children."""
     merged = _ladd3(st.m, st.i, st.d)  # [B, A]
     merged = jnp.where(st.nodes >= 0, merged, NEG)
+    if max_ratio is not None:
+        mx = jnp.max(merged, axis=-1, keepdims=True)
+        merged = jnp.where(merged >= mx - max_ratio, merged, NEG)
     k = min(n_top, merged.shape[1])
     top_vals, top_slots = jax.lax.top_k(merged, k)  # [B, k]
     top_nodes = jnp.take_along_axis(st.nodes, top_slots, axis=1)
@@ -106,13 +114,14 @@ class AdaptiveTables(NamedTuple):
     e: jnp.ndarray  # [B] final score (with offset applied)
 
 
-@functools.partial(jax.jit, static_argnames=("n_top", "n_warmup"))
+@functools.partial(jax.jit, static_argnames=("n_top", "n_warmup", "max_ratio"))
 def forward_sparse_adaptive(
     dm: DeviceModel,
     codes: jnp.ndarray,
     lens: jnp.ndarray,
     n_top: int = 40,
     n_warmup: int = 16,
+    max_ratio: float = None,
 ) -> AdaptiveTables:
     """Sparse-adaptive forward storing per-step active tables.
 
@@ -150,7 +159,7 @@ def forward_sparse_adaptive(
     def body(st, xs):
         x, p = xs
         valid = p < lens
-        cur = _next_active(dm, st, n_top)[:, :A]
+        cur = _next_active(dm, st, n_top, max_ratio)[:, :A]
         st1 = _s_step(dm, st, cur, x, valid, renorm=True)
         return st1, (st1.nodes, st1.m, st1.i, st1.d, st1.off)
 
@@ -238,13 +247,14 @@ def _b_step_sparse(dm: DeviceModel, st: BCarry, cur_nodes: jnp.ndarray,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_top", "n_active"))
+@functools.partial(jax.jit, static_argnames=("n_top", "n_active", "max_ratio"))
 def mappings_sparse_adaptive(
     dm: DeviceModel,
     codes: jnp.ndarray,
     lens: jnp.ndarray,
     n_top: int = 40,
     n_active: int = 40,
+    max_ratio: float = None,
 ):
     """Sparse forward + backward-by-forward + per-position top-k decode.
 
@@ -257,7 +267,7 @@ def mappings_sparse_adaptive(
     """
     B, L = codes.shape
     dtype = dm.init_logp.dtype
-    f = forward_sparse_adaptive(dm, codes, lens, n_top=n_top)
+    f = forward_sparse_adaptive(dm, codes, lens, n_top=n_top, max_ratio=max_ratio)
     A = f.nodes.shape[2]
     logp = f.e
 
@@ -313,6 +323,7 @@ def mappings_sparse_adaptive(
         top_logp, top_slot = jax.lax.top_k(s_log, k)
         top_nodes = jnp.take_along_axis(cur_nodes, top_slot, axis=1)
         top_nodes = jnp.where(jnp.isfinite(top_logp), top_nodes, -1)
+        top_logp, top_nodes = _ratio_mask(top_logp, top_nodes, max_ratio)
         return (bst1, None), (top_logp, top_nodes, i_merge, valid)
 
     (bf, _), (tops_logp, tops_nodes, i_merges, valids) = jax.lax.scan(
@@ -344,6 +355,7 @@ def mappings_sparse_adaptive(
     last_logp, last_slot = jax.lax.top_k(s_last_log, k)
     last_nodes = jnp.take_along_axis(final_nodes, last_slot, axis=1)
     last_nodes = jnp.where(jnp.isfinite(last_logp), last_nodes, -1)
+    last_logp, last_nodes = _ratio_mask(last_logp, last_nodes, max_ratio)
     b_ar = jnp.arange(B)
     j_last = jnp.where(lens > 0, lens - 1, L)
     map_logp = map_logp.at[b_ar, j_last].set(last_logp, mode="drop")

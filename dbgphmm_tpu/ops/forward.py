@@ -453,16 +453,31 @@ def full_prob_backward(dm: DeviceModel, codes: jnp.ndarray, lens: jnp.ndarray,
 # -- state probabilities / node freqs / mappings -------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("renorm", "n_active"))
+def _ratio_mask(top_logp, top_idx, max_ratio):
+    """Score-ratio selection (ref: hint.rs:135-142 to_mapping_by_score_ratio,
+    table.rs:134-149 top_nodes_by_score_ratio): keep only slots within
+    ``max_ratio`` log units of the per-position max; the top-k width is the
+    fixed-shape CAP (the analog of MAX_ACTIVE_NODES=400, table.rs:22), the
+    ratio sets the variable effective width."""
+    if max_ratio is None:
+        return top_logp, top_idx
+    thr = top_logp[..., :1] - max_ratio
+    keep = jnp.isfinite(top_logp) & (top_logp >= thr)
+    return jnp.where(keep, top_logp, NEG), jnp.where(keep, top_idx, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("renorm", "n_active", "max_ratio"))
 def node_freqs_and_mappings(
     dm: DeviceModel,
     codes: jnp.ndarray,
     lens: jnp.ndarray,
     renorm: bool = True,
     n_active: int = 40,
+    max_ratio: Optional[float] = None,
 ):
     """Posterior state decoding: expected node usages + per-position top-k
-    mapping (ref: freq.rs:245 to_node_freqs, hint.rs:124-131 to_mapping).
+    mapping (ref: freq.rs:245 to_node_freqs, hint.rs:124-131 to_mapping;
+    with ``max_ratio`` the reference's score-ratio variant hint.rs:135-142).
 
     Returns (logp [B], node_freqs [B, n] linear, map_nodes [B, L, A] int32,
     map_logp [B, L, A]).  map entries for position i of read b hold the top-k
@@ -528,6 +543,7 @@ def node_freqs_and_mappings(
         s_node_log = jnp.where(s_lin > 0, s_node_log, NEG)
         top_logp, top_idx = jax.lax.top_k(s_node_log, n_active)
         top_idx = jnp.where(jnp.isfinite(top_logp), top_idx, -1)
+        top_logp, top_idx = _ratio_mask(top_logp, top_idx, max_ratio)
         return (bst1, freq), (top_logp, top_idx, i_merge, valid)
 
     (b_final, freqs), (tops_logp, tops_idx, i_merges, valids) = jax.lax.scan(
@@ -555,6 +571,7 @@ def node_freqs_and_mappings(
     s_last_log = jnp.where(s_last > 0, jnp.log(jnp.maximum(s_last, 1e-300)), NEG)
     last_logp, last_idx = jax.lax.top_k(s_last_log, n_active)
     last_idx = jnp.where(jnp.isfinite(last_logp), last_idx, -1)
+    last_logp, last_idx = _ratio_mask(last_logp, last_idx, max_ratio)
     b_ar = jnp.arange(B)
     j_last = jnp.where(lens > 0, lens - 1, L)
     map_logp = map_logp.at[b_ar, j_last].set(last_logp, mode="drop")

@@ -110,6 +110,10 @@ def make_template(dbg, params: PHMMParams) -> PHMMTemplate:
     for v in range(dbg.n_nodes_full()):
         if not dbg.full.node(v).is_terminal:
             max_deg = max(max_deg, dbg.full.in_degree(v), dbg.full.out_degree(v))
+    # bucket the degree exactly like ops.forward.pad_model so that positions
+    # precomputed from this template match degree-padded DeviceModels (a
+    # D=3 template vs D=5 padded model crashes the mapped-pos kernel)
+    max_deg = 2 if max_deg <= 2 else (5 if max_deg <= 5 else max_deg)
     parent_idx = np.zeros((n, max_deg), dtype=np.int32)
     parent_exists = np.zeros((n, max_deg), dtype=bool)
     child_idx = np.zeros((n, max_deg), dtype=np.int32)

