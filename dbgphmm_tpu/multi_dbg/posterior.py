@@ -122,8 +122,10 @@ def generate_mappings(
     run_sparse_adaptive path, freq.rs:60)."""
     import jax.numpy as jnp
 
+    from ..ops.forward import default_dtype
+
     if dtype is None:
-        dtype = jnp.float64
+        dtype = default_dtype()
     if max_ratio == "default":
         max_ratio = params.active_node_max_ratio
     model = dbg.to_phmm(params, mode="non_zero")
@@ -250,6 +252,32 @@ def _phmm_models_for_candidates(
     return [tpl.model_for(cn) for cn in candidates]
 
 
+def pallas_scoring_enabled() -> bool:
+    """Pallas full-scan scoring: on for real accelerator backends, off on CPU
+    (interpret mode is slow); env DBGPHMM_PALLAS=0 forces the XLA kernel."""
+    import os
+
+    if os.environ.get("DBGPHMM_PALLAS", "") == "0":
+        return False
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+def make_pallas_scorer(template, positions, codes, lens, params):
+    """Build the Pallas candidate scorer, or None if unavailable."""
+    if not pallas_scoring_enabled():
+        return None
+    try:
+        from ..ops.pallas_mapped import PallasMappedScorer
+
+        return PallasMappedScorer(template, positions, codes, lens, params)
+    except Exception as e:  # pragma: no cover - depends on backend
+        print(f"[posterior] pallas scorer unavailable ({type(e).__name__}: {e}); "
+              "using XLA kernel")
+        return None
+
+
 def score_candidates(
     dbg: MultiDbg,
     params: PHMMParams,
@@ -263,23 +291,35 @@ def score_candidates(
     map_nodes=None,
     positions=None,
     template=None,
+    pallas_scorer=None,
 ) -> List[Score]:
     """Evaluate Score for a batch of copy-number candidates: likelihoods on
     device (one vmapped launch — mapping-constrained when ``map_nodes`` is
-    given), prior + Euler count on host."""
+    given; the Pallas full-scan kernel when ``pallas_scorer`` is set),
+    prior + Euler count on host."""
     import jax.numpy as jnp
 
+    from ..ops.forward import default_dtype
+
     if dtype is None:
-        dtype = jnp.float64
+        dtype = default_dtype()
     if codes is None:
         codes, lens = pad_reads(list(reads))
 
     t0 = time.time()
-    models = _phmm_models_for_candidates(dbg, params, candidates, template)
-    lls = candidate_log_likelihoods(
-        models, codes, lens, dtype=dtype, map_nodes=map_nodes,
-        positions=positions,
-    )
+    lls = None
+    if pallas_scorer is not None:
+        try:
+            lls = pallas_scorer.scores(candidates)
+        except Exception as e:  # pragma: no cover - backend-specific
+            print(f"[posterior] pallas scoring failed ({type(e).__name__}: {e}); "
+                  "falling back to XLA kernel")
+    if lls is None:
+        models = _phmm_models_for_candidates(dbg, params, candidates, template)
+        lls = candidate_log_likelihoods(
+            models, codes, lens, dtype=dtype, map_nodes=map_nodes,
+            positions=positions,
+        )
     t_like = time.time() - t0
 
     scores = []
@@ -332,13 +372,19 @@ def sample_posterior(
     template = make_template(dbg, params)
     map_nodes = None
     positions = None
+    pallas_scorer = None
     if mappings is not None:
         freqs = mappings.to_node_freqs(dbg.n_edges_full())
         from ..ops.sparse import pad_mappings, precompute_positions
 
         width = max((n.shape[1] for n in mappings.nodes if n.size), default=8)
         map_nodes = pad_mappings(mappings, codes.shape[1], width)
-        positions = precompute_positions(map_nodes, template.parent_idx)
+        positions = precompute_positions(
+            map_nodes, template.parent_idx, parent_exists=template.parent_exists
+        )
+        pallas_scorer = make_pallas_scorer(
+            template, positions, codes, lens, template.params
+        )
     else:
         freqs = np.ones(dbg.n_edges_full())
     coverage = sum(len(r) for r in reads) / genome_size_expected
@@ -362,7 +408,7 @@ def sample_posterior(
         scores = score_candidates(
             work, params, reads, [cn for cn, _i in uniq],
             genome_size_expected, genome_size_sigma, codes, lens, dtype,
-            positions=positions, template=template,
+            positions=positions, template=template, pallas_scorer=pallas_scorer,
         )
         for (cn, info), sc in zip(uniq, scores):
             post.add(PosteriorSample(cn, sc, infos_init + [info]))
@@ -371,7 +417,7 @@ def sample_posterior(
     init_scores = score_candidates(
         work, params, reads, [copy_nums], genome_size_expected,
         genome_size_sigma, codes, lens, dtype,
-        positions=positions, template=template,
+        positions=positions, template=template, pallas_scorer=pallas_scorer,
     )
     post.add(PosteriorSample(copy_nums, init_scores[0], []))
 
@@ -422,6 +468,7 @@ def sample_posterior(
                         work, params, reads, [cur], genome_size_expected,
                         genome_size_sigma, codes, lens, dtype,
                         positions=positions, template=template,
+                        pallas_scorer=pallas_scorer,
                     )
                     post.add(PosteriorSample(cur, scores[0], infos + [mm_info]))
 

@@ -76,6 +76,17 @@ jax.tree_util.register_dataclass(
 )
 
 
+def default_dtype():
+    """f64 on CPU (exact; matches the reference's strict logaddexp numerics,
+    prob.rs:181-203), f32 on accelerator backends: TPU has no native f64 —
+    XLA emulates it in software at orders-of-magnitude cost (an f64 mapping
+    pass that takes seconds in f32 runs for minutes emulated) — and every
+    kernel here renormalizes per step so f32 holds arbitrarily long reads."""
+    import jax
+
+    return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+
+
 def bucketize(n: int, ratio: float = 1.2, align: int = 128) -> int:
     """Round n up to a geometric bucket aligned to TPU lanes, so jitted
     kernels keep stable shapes as the graph grows across k (the

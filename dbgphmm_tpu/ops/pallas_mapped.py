@@ -367,3 +367,89 @@ def lin_params_vector(dm: DeviceModel) -> jnp.ndarray:
     return jnp.asarray(
         [float(jnp.exp(getattr(dm.lt, nm))) for nm in names], dtype=jnp.float32
     )
+
+
+def lin_params_from_phmm_params(params) -> jnp.ndarray:
+    """Linear transition constants directly from PHMMParams (no DeviceModel)."""
+    lg = params.log_transitions()
+    order = ["p_MM", "p_IM", "p_DM", "p_MI", "p_II", "p_DI", "p_MD", "p_ID",
+             "p_DD", "p_match", "p_mismatch", "p_random", "p_end"]
+    return jnp.asarray([np.exp(lg[k]) for k in order], dtype=jnp.float32)
+
+
+class PallasMappedScorer:
+    """Production candidate scorer on the Pallas full-scan kernel.
+
+    Built once per (k, mapping); ``scores(candidates)`` evaluates a batch of
+    compact-edge copy-number assignments and returns the per-candidate total
+    log likelihood over reads (ref hot loop: freq.rs:175-192
+    to_full_prob_reads over forward_with_mapping_score_only).  All candidate
+    dependence enters as the eff table, so there is no per-candidate model
+    construction at all.
+    """
+
+    def __init__(self, template, positions, codes: np.ndarray,
+                 lens: np.ndarray, params, TL: int = 8):
+        self.TL = TL
+        B, L = codes.shape
+        if L % TL != 0:
+            pad = -(-L // TL) * TL - L
+            codes = np.concatenate(
+                [codes, np.full((B, pad), -1, dtype=codes.dtype)], axis=1
+            )
+            mn = positions.map_nodes
+            ext = lambda a, fill: np.concatenate(
+                [a, np.full(a.shape[:1] + (pad,) + a.shape[2:], fill, a.dtype)],
+                axis=1,
+            )
+            positions = MappedPositionsLike(
+                map_nodes=ext(positions.map_nodes, -1),
+                prev_pos=ext(positions.prev_pos, -1),
+                cur_pos=ext(positions.cur_pos, -1),
+                self_pos=ext(positions.self_pos, -1),
+            )
+        self.streams = build_streams(template, positions, codes, lens, None)
+        self.ltv = lin_params_from_phmm_params(params)
+        self.n_max_gaps = params.n_max_gaps
+        self.n_reads = B
+        self.interpret = jax.default_backend() == "cpu"
+        self._dev = None
+
+    def _device_args(self):
+        if self._dev is None:
+            s = self.streams
+            self._dev = tuple(
+                jnp.asarray(a)
+                for a in (s.lens, s.codes, s.emis, s.numce, s.selfp,
+                          s.prevp, s.curp, s.dence)
+            )
+        return self._dev
+
+    def scores(self, candidates) -> np.ndarray:
+        """[C] total log P(R|X_c); candidate count padded to power-of-2
+        buckets for compile stability."""
+        C = len(candidates)
+        pad = 1
+        while pad < C:
+            pad *= 2
+        cands = list(candidates) + [candidates[0]] * (pad - C)
+        eff, inv_total = eff_tables(self.streams, cands)
+        args = self._device_args()
+        # trace with x64 disabled: the CLI enables jax_enable_x64 globally,
+        # but Mosaic rejects 64-bit types; every input here is already 32-bit
+        with jax.enable_x64(False):
+            out = np.asarray(
+                pallas_mapped_scores(
+                    jnp.asarray(eff), jnp.asarray(inv_total), *args, self.ltv,
+                    n_max_gaps=self.n_max_gaps, TL=self.TL,
+                    interpret=self.interpret,
+                )
+            )
+        return out[:C, : self.n_reads].astype(np.float64).sum(axis=1)
+
+
+class MappedPositionsLike(NamedTuple):
+    map_nodes: np.ndarray
+    prev_pos: np.ndarray
+    cur_pos: np.ndarray
+    self_pos: np.ndarray

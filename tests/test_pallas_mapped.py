@@ -82,3 +82,30 @@ def test_pallas_matches_positions_kernel(setup):
         finite = np.isfinite(ref)
         assert np.all(np.isfinite(got[finite])), (c, got, ref)
         np.testing.assert_allclose(got[finite], ref[finite], atol=2e-3, rtol=1e-5)
+
+
+def test_pallas_scorer_matches_score_candidates(setup):
+    """PallasMappedScorer (the production scoring fast path) must rank and
+    value candidates like the XLA mapped-pos scoring used on CPU."""
+    from dbgphmm_tpu.ops.batch import candidate_log_likelihoods
+    from dbgphmm_tpu.ops.pallas_mapped import PallasMappedScorer
+    from dbgphmm_tpu.phmm.template import make_template
+
+    dbg, params, tpl, pos, codes, lens, candidates = setup
+    # a non-TL-multiple read length exercises the internal padding
+    codes_odd = codes[:, :27]
+    from dbgphmm_tpu.ops.sparse import precompute_positions
+
+    pos_odd = precompute_positions(
+        pos.map_nodes[:, :27], tpl.parent_idx, parent_exists=tpl.parent_exists
+    )
+    lens_odd = np.minimum(lens, 27)
+    scorer = PallasMappedScorer(tpl, pos_odd, codes_odd, lens_odd, tpl.params)
+    scorer.interpret = True
+    got = scorer.scores(candidates)
+
+    models = [tpl.model_for(cn) for cn in candidates]
+    ref = candidate_log_likelihoods(
+        models, codes_odd, lens_odd, positions=pos_odd
+    )
+    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=1e-5)
