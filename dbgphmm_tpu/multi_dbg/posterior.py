@@ -310,10 +310,24 @@ def score_candidates(
     lls = None
     if pallas_scorer is not None:
         try:
-            lls = pallas_scorer.scores(candidates)
+            lls, ok = pallas_scorer.scores_detailed(candidates)
+            if not ok.all():
+                # rescore blocked candidates with the log-space kernel: the
+                # linear-space kernel underflows reads forced across copy-0
+                # cuts, but their exact very-low scores drive the early climb
+                bad = [i for i, o in enumerate(ok) if not o]
+                models = _phmm_models_for_candidates(
+                    dbg, params, [candidates[i] for i in bad], template
+                )
+                exact = candidate_log_likelihoods(
+                    models, codes, lens, dtype=dtype, positions=positions,
+                )
+                for j, i in enumerate(bad):
+                    lls[i] = exact[j]
         except Exception as e:  # pragma: no cover - backend-specific
             print(f"[posterior] pallas scoring failed ({type(e).__name__}: {e}); "
                   "falling back to XLA kernel")
+            lls = None
     if lls is None:
         models = _phmm_models_for_candidates(dbg, params, candidates, template)
         lls = candidate_log_likelihoods(

@@ -425,9 +425,15 @@ class PallasMappedScorer:
             )
         return self._dev
 
-    def scores(self, candidates) -> np.ndarray:
-        """[C] total log P(R|X_c); candidate count padded to power-of-2
-        buckets for compile stability."""
+    def scores_detailed(self, candidates):
+        """(sums [C], ok [C] bool): total log P(R|X_c) and whether every
+        read score is finite.  The scaled-linear f32 recursion structurally
+        underflows to -inf on reads whose mapped path is blocked by copy-0
+        edges (log-space keeps them at very low finite values via the Begin
+        re-entry chain) — callers must rescore ok=False candidates with the
+        log-space kernel, their exact (terrible) values steer the early hill
+        climb.  Candidate count padded to power-of-2 buckets for compile
+        stability."""
         C = len(candidates)
         pad = 1
         while pad < C:
@@ -445,7 +451,12 @@ class PallasMappedScorer:
                     interpret=self.interpret,
                 )
             )
-        return out[:C, : self.n_reads].astype(np.float64).sum(axis=1)
+        per_read = out[:C, : self.n_reads].astype(np.float64)
+        ok = np.isfinite(per_read).all(axis=1)
+        return per_read.sum(axis=1), ok
+
+    def scores(self, candidates) -> np.ndarray:
+        return self.scores_detailed(candidates)[0]
 
 
 class MappedPositionsLike(NamedTuple):

@@ -109,3 +109,18 @@ def test_pallas_scorer_matches_score_candidates(setup):
         models, codes_odd, lens_odd, positions=pos_odd
     )
     np.testing.assert_allclose(got, ref, atol=5e-3, rtol=1e-5)
+
+
+def test_pallas_scorer_flags_blocked_candidates(setup):
+    """A candidate that zeroes edges on every read path underflows the
+    linear-space kernel; scores_detailed must flag it (ok=False) so the
+    caller rescoring path kicks in."""
+    from dbgphmm_tpu.ops.pallas_mapped import PallasMappedScorer
+
+    dbg, params, tpl, pos, codes, lens, candidates = setup
+    zero_all = [0] * dbg.n_edges_compact()
+    scorer = PallasMappedScorer(tpl, pos, codes, lens, tpl.params)
+    scorer.interpret = True
+    sums, ok = scorer.scores_detailed([candidates[0], zero_all])
+    assert ok[0]
+    assert not ok[1]
