@@ -299,7 +299,199 @@ def _make_kernel(TL: int, D: int, n_max_gaps: int, L: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("TL", "interpret", "n_max_gaps"))
+def _make_kernel_log(TL: int, D: int, n_max_gaps: int, L: int):
+    """Log-space variant of the full-scan kernel: identical stream layout and
+    gathers, but the DP tables hold log probabilities (ref forward recursion
+    forward.rs:276-306 in strict log space).  Full dynamic range — candidates
+    whose mapped path crosses copy-0 cuts score very low but FINITE (the
+    Begin re-entry chain, tracked as log scalars, re-seeds the table), unlike
+    the scaled-linear kernel which structurally underflows them to -inf."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    n_chunks = L // TL
+    NEGF = -1e30  # quasi -inf (python literal: folds into f32 ops without
+    # becoming a captured constant); avoids inf-inf NaNs in renorm
+
+    def kernel(lt_ref, eff_ref, invt_ref, lens_ref, codes_ref, emis_ref,
+               numce_ref, selfp_ref, prevp_ref, curp_ref, dence_ref, out_ref,
+               m_ref, i_ref, d_ref, aux_ref):
+        l_idx = pl.program_id(1)
+        (pMM, pIM, pDM, pMI, pII, pDI, pMD, pID, pDD,
+         p_match, p_mismatch, p_random, p_end) = [
+            lt_ref[0, i] for i in range(13)
+        ]
+        # log transition constants (scalars; computed once per invocation)
+        lg = lambda p: jnp.log(jnp.maximum(p, 1e-38))
+        lMM, lIM, lDM = lg(pMM), lg(pIM), lg(pDM)
+        lMI, lII, lDI = lg(pMI), lg(pII), lg(pDI)
+        lMD, lID, lDD = lg(pMD), lg(pID), lg(pDD)
+        l_match, l_mismatch = lg(p_match), lg(p_mismatch)
+        l_random, l_end = lg(p_random), lg(p_end)
+
+        @pl.when(l_idx == 0)
+        def _init():
+            m_ref[:] = jnp.full_like(m_ref, NEGF)
+            i_ref[:] = jnp.full_like(i_ref, NEGF)
+            d_ref[:] = jnp.full_like(d_ref, NEGF)
+            aux_ref[:] = jnp.full_like(aux_ref, NEGF)
+            aux_ref[0] = jnp.zeros_like(aux_ref[0])  # log mb = 0
+            aux_ref[3] = jnp.zeros_like(aux_ref[3])  # off = 0
+            aux_ref[4] = jnp.zeros_like(aux_ref[4])  # off_c = 0
+
+        eff = eff_ref[0, 0]  # [NC]
+        inv_total = invt_ref[0, 0, 0]
+        lens = lens_ref[0]  # [B]
+        B = lens.shape[0]
+        NC = eff.shape[0]
+
+        def gather_eff(idx):
+            A_ = idx.shape[1]
+            idx_p = jnp.concatenate(
+                [idx, jnp.zeros((B, NC - A_), dtype=idx.dtype)], axis=1
+            )
+            g = jnp.take_along_axis(
+                jnp.broadcast_to(eff[None, :], (B, NC)), idx_p, axis=1
+            )
+            return g[:, :A_]
+
+        def gather_log(tab, idx):
+            safe = jnp.where(idx >= 0, idx, 0)
+            out = jnp.take_along_axis(tab, safe, axis=1)
+            return jnp.where(idx >= 0, out, NEGF)
+
+        def ladd(a, b):
+            mx = jnp.maximum(a, b)
+            mn = jnp.minimum(a, b)
+            return mx + jnp.log1p(jnp.exp(jnp.maximum(mn - mx, NEGF)))
+
+        def ladd3(a, b, c):
+            return ladd(ladd(a, b), c)
+
+        for t in range(TL):
+            x = codes_ref[t]  # [B]
+            step = l_idx * TL + t
+            valid = (step < lens)
+
+            emis = emis_ref[t]  # [B, A]
+            num = gather_eff(numce_ref[t])
+            den = jnp.zeros_like(num)
+            for dd in range(D):
+                den = den + gather_eff(dence_ref[t, dd])
+            # log transition prob into each slot's edge; 0-copy -> NEGF
+            ok_t = (num > 0) & (den > 0)
+            l_tval = jnp.where(
+                ok_t,
+                jnp.log(jnp.maximum(num, 1e-38))
+                - jnp.log(jnp.maximum(den, 1e-38)),
+                NEGF,
+            )
+            l_init = jnp.where(
+                (num > 0) & (inv_total > 0),
+                jnp.log(jnp.maximum(num, 1e-38))
+                + jnp.log(jnp.maximum(inv_total, 1e-38)),
+                NEGF,
+            )
+            l_emit = jnp.where(emis == x[:, None], l_match, l_mismatch)
+            l_emit = jnp.where(emis < 4, l_emit, NEGF)
+
+            m_prev = m_ref[:]
+            i_prev = i_ref[:]
+            d_prev = d_ref[:]
+            mb = aux_ref[0]  # log
+            ib = aux_ref[1]  # log
+            e = aux_ref[2]
+            off = aux_ref[3]
+            off_c = aux_ref[4]
+
+            inner = jnp.full_like(m_prev, NEGF)
+            for dd in range(D):
+                pp = prevp_ref[t, dd]
+                inner = ladd(
+                    inner,
+                    ladd3(
+                        lMM + gather_log(m_prev, pp),
+                        lIM + gather_log(i_prev, pp),
+                        lDM + gather_log(d_prev, pp),
+                    ),
+                )
+            from_normal = l_tval + inner
+            from_begin = l_init + ladd(lMM + mb, lIM + ib)[:, None]
+            m_new = l_emit + ladd(from_normal, from_begin)
+
+            sp = selfp_ref[t]
+            i_new = l_random + ladd3(
+                lMI + gather_log(m_prev, sp),
+                lII + gather_log(i_prev, sp),
+                lDI + gather_log(d_prev, sp),
+            )
+
+            mb_new = jnp.full_like(mb, NEGF)
+            ib_new = l_random + ladd(lMI + mb, lII + ib)
+
+            acc = jnp.full_like(m_new, NEGF)
+            for dd in range(D):
+                cp = curp_ref[t, dd]
+                acc = ladd(
+                    acc,
+                    ladd(lMD + gather_log(m_new, cp),
+                         lID + gather_log(i_new, cp)),
+                )
+            fd0 = ladd(l_tval + acc,
+                       l_init + ladd(lMD + mb_new, lID + ib_new)[:, None])
+            d_new = fd0
+            fdt = fd0
+            for _ in range(n_max_gaps):
+                accd = jnp.full_like(fdt, NEGF)
+                for dd in range(D):
+                    accd = ladd(accd, gather_log(fdt, curp_ref[t, dd]))
+                fdt = l_tval + lDD + accd
+                d_new = ladd(d_new, fdt)
+
+            # fe: logsumexp over slots of m+i+d
+            mid = ladd3(m_new, i_new, d_new)
+            row_max = jnp.max(mid, axis=-1)
+            row_max_s = jnp.maximum(row_max, NEGF)
+            e_new = l_end + row_max_s + jnp.log(
+                jnp.sum(jnp.exp(jnp.maximum(mid - row_max_s[:, None], NEGF)),
+                        axis=-1)
+            )
+
+            shift = jnp.max(m_new, axis=-1)
+            shift = jnp.where((shift > NEGF / 2) & valid, shift, 0.0)
+            m_new = jnp.maximum(m_new - shift[:, None], NEGF)
+            i_new = jnp.maximum(i_new - shift[:, None], NEGF)
+            d_new = jnp.maximum(d_new - shift[:, None], NEGF)
+            mb_new = jnp.maximum(mb_new - shift, NEGF)
+            ib_new = jnp.maximum(ib_new - shift, NEGF)
+            e_new = e_new - shift
+            y = shift - off_c
+            tt = off + y
+            off_c2 = (tt - off) - y
+
+            v1 = valid.astype(jnp.int32)[:, None] > 0
+            m_ref[:] = jnp.where(v1, m_new, m_prev)
+            i_ref[:] = jnp.where(v1, i_new, i_prev)
+            d_ref[:] = jnp.where(v1, d_new, d_prev)
+            aux_ref[0] = jnp.where(valid, mb_new, mb)
+            aux_ref[1] = jnp.where(valid, ib_new, ib)
+            aux_ref[2] = jnp.where(valid, e_new, e)
+            aux_ref[3] = jnp.where(valid, tt, off)
+            aux_ref[4] = jnp.where(valid, off_c2, off_c)
+
+        @pl.when(l_idx == n_chunks - 1)
+        def _emit():
+            e = aux_ref[2]
+            off = aux_ref[3]
+            score = jnp.where(e > NEGF / 2, e + off, -jnp.inf)
+            out_ref[0, 0] = score
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("TL", "interpret", "n_max_gaps", "space")
+)
 def pallas_mapped_scores(
     eff: jnp.ndarray,  # [C, NC] f32
     inv_total: jnp.ndarray,  # [C, 1] f32
@@ -315,6 +507,7 @@ def pallas_mapped_scores(
     n_max_gaps: int = 4,
     TL: int = 8,
     interpret: bool = False,
+    space: str = "linear",
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -322,7 +515,8 @@ def pallas_mapped_scores(
     C, NC = eff.shape
     L, D, B, A = prevp.shape
     assert L % TL == 0, "L must be a multiple of TL (pad reads)"
-    kernel = _make_kernel(TL, D, n_max_gaps, L)
+    make = _make_kernel_log if space == "log" else _make_kernel
+    kernel = make(TL, D, n_max_gaps, L)
 
     grid = (C, L // TL)
     bs = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -389,8 +583,9 @@ class PallasMappedScorer:
     """
 
     def __init__(self, template, positions, codes: np.ndarray,
-                 lens: np.ndarray, params, TL: int = 8):
+                 lens: np.ndarray, params, TL: int = 8, space: str = "log"):
         self.TL = TL
+        self.space = space
         B, L = codes.shape
         if L % TL != 0:
             pad = -(-L // TL) * TL - L
@@ -448,7 +643,7 @@ class PallasMappedScorer:
                 pallas_mapped_scores(
                     jnp.asarray(eff), jnp.asarray(inv_total), *args, self.ltv,
                     n_max_gaps=self.n_max_gaps, TL=self.TL,
-                    interpret=self.interpret,
+                    interpret=self.interpret, space=self.space,
                 )
             )
         per_read = out[:C, : self.n_reads].astype(np.float64)

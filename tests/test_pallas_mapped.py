@@ -124,3 +124,37 @@ def test_pallas_scorer_flags_blocked_candidates(setup):
     sums, ok = scorer.scores_detailed([candidates[0], zero_all])
     assert ok[0]
     assert not ok[1]
+
+
+def test_pallas_log_kernel_matches_f64(setup):
+    """The log-space Pallas kernel must match the f64 XLA log kernel on both
+    good candidates AND blocked ones (copy-0 cuts) where the linear kernel
+    underflows to -inf."""
+    from dbgphmm_tpu.ops.pallas_mapped import PallasMappedScorer
+    from dbgphmm_tpu.ops.sparse import forward_scores_mapped_pos
+    from dbgphmm_tpu.ops.forward import to_device
+
+    dbg, params, tpl, pos, codes, lens, candidates = setup
+    zero_mid = list(candidates[0])
+    # zero out a used edge -> blocked reads
+    zero_mid[0] = 0
+    cands = candidates + [zero_mid]
+
+    scorer = PallasMappedScorer(tpl, pos, codes, lens, tpl.params, space="log")
+    scorer.interpret = True
+    got, ok = scorer.scores_detailed(cands)
+
+    for c, cn in enumerate(cands):
+        dm = to_device(tpl.model_for(cn), dtype=jnp.float64)
+        ref = np.asarray(
+            forward_scores_mapped_pos(
+                dm, jnp.asarray(codes), jnp.asarray(lens),
+                jnp.asarray(pos.map_nodes), jnp.asarray(pos.prev_pos),
+                jnp.asarray(pos.cur_pos), jnp.asarray(pos.self_pos),
+            )
+        ).sum()
+        # -inf only where the exact kernel is -inf (structurally blocked)
+        assert np.isfinite(got[c]) == np.isfinite(ref), (c, got[c], ref)
+        if np.isfinite(ref):
+            np.testing.assert_allclose(got[c], ref, atol=0.5, rtol=1e-4), c
+    assert (ok == np.isfinite(got)).all()
