@@ -435,6 +435,9 @@ class MultiDbg:
         if paths is not None:
             new_paths = []
             for p in paths:
+                if p is None:  # lost in an earlier purge (true edge removed)
+                    new_paths.append(None)
+                    continue
                 q = [full_map[e] for e in p]
                 new_paths.append(None if any(x is None for x in q) else q)
             paths = new_paths

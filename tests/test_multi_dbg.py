@@ -193,6 +193,20 @@ def test_purge_and_extend():
     assert set(spelled) == set(genome_kmers)
 
 
+def test_purge_and_extend_with_lost_path():
+    """A path already lost in an earlier purge (None) must pass through
+    subsequent purge_and_extend calls unchanged instead of crashing
+    (regression: TypeError at k=51 on u500 when a true edge was purged)."""
+    g = [StyledSequence.linear(b"GATCCACGGAT")]
+    dbg = MultiDbg.from_styled_seqs(4, g)
+    paths = dbg.paths_from_styled_seqs(g)
+    dbg2, paths2, _m = dbg.purge_and_extend(
+        [], k_max=6, stop_when_ambiguous=False, paths=[None, paths[0]]
+    )
+    assert paths2[0] is None
+    assert paths2[1] is not None
+
+
 def test_to_phmm_conversion():
     dbg = linear_dbg(b"GATCC", 4)
     params_model = dbg.to_phmm(__import__("dbgphmm_tpu.phmm", fromlist=["PHMMParams"]).PHMMParams.default())
