@@ -392,13 +392,18 @@ def sample_posterior(
         from ..ops.sparse import pad_mappings, precompute_positions
 
         width = max((n.shape[1] for n in mappings.nodes if n.size), default=8)
+        t0 = time.time()
         map_nodes = pad_mappings(mappings, codes.shape[1], width)
         positions = precompute_positions(
             map_nodes, template.parent_idx, parent_exists=template.parent_exists
         )
+        t_pos = time.time() - t0
+        t0 = time.time()
         pallas_scorer = make_pallas_scorer(
             template, positions, codes, lens, template.params
         )
+        log(f"setup: positions {t_pos:.1f}s, scorer streams "
+            f"{time.time()-t0:.1f}s (width={width})")
     else:
         freqs = np.ones(dbg.n_edges_full())
     coverage = sum(len(r) for r in reads) / genome_size_expected
@@ -438,8 +443,9 @@ def sample_posterior(
     n_iter = 0
     while n_iter < max_iter:
         work.set_copy_nums(copy_nums)
+        t0 = time.time()
         rescue = to_rescue_neighbors(work, freqs, coverage, 5, 20, True, 4, True)
-        log(f"iter {n_iter}: {len(rescue)} rescue neighbors")
+        log(f"iter {n_iter}: {len(rescue)} rescue neighbors ({time.time()-t0:.1f}s)")
         if rescue_only:
             sets = [rescue]
         else:

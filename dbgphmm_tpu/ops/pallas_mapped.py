@@ -126,6 +126,22 @@ def build_streams(
         curp[:, d, :B, :A0] = cpT[:, :, :, d]
         dence[:, d, :B, :A0] = den_g[:, :, :, d]
 
+    # drop structurally-empty trailing degree columns (the template pads
+    # degree to the {2,5} bucket; real DBG parent degree is <= 4 and often
+    # 2-3 — each dropped column removes a gather round per kernel step and
+    # a [L, B, A] stream from HBM)
+    d_used = 1
+    for d in range(D - 1, 0, -1):
+        if (prevp[:, d] >= 0).any() or (curp[:, d] >= 0).any() or (
+            dence[:, d] != SENT
+        ).any():
+            d_used = d + 1
+            break
+    if d_used < D:
+        prevp = np.ascontiguousarray(prevp[:, :d_used])
+        curp = np.ascontiguousarray(curp[:, :d_used])
+        dence = np.ascontiguousarray(dence[:, :d_used])
+
     codes_T = np.full((L, Bp), -1, dtype=np.int32)
     codes_T[:, :B] = np.swapaxes(codes, 0, 1)
     lens_p = np.zeros(Bp, dtype=np.int32)
