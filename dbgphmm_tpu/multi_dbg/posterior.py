@@ -80,6 +80,16 @@ class Mappings:
 
 DENSE_MAPPING_MAX_NODES = 4000
 
+DENSE_COMPUTE_MAX_NODES = 65536  # up to here the mapping forward pass runs
+# DENSE per step (exact — no frontier that can permanently drop the true
+# path) while storing only the top-A compacted cells for the backward pass.
+# At small k the repeat-shared k-mer ambiguity is huge (a top-64 evolving
+# frontier loses true cells and the resulting mapping poisons candidate
+# scoring by ~1e5 log units — measured on u500(8) at k=41); dense compute
+# re-ranks from the full table every step so weak true cells recover.
+# Beyond this node count (large k) the graph is nearly linear and the
+# evolving-frontier kernel is accurate and much cheaper.
+
 
 MAPPING_WIDTH_CAP = 128  # fixed-shape cap on mapping slots — the analog of
 # the reference's MAX_ACTIVE_NODES=400 (table.rs:22).  The *effective* width
@@ -139,10 +149,18 @@ def generate_mappings(
     else:
         from ..ops.adaptive import mappings_sparse_adaptive
 
+        n = dbg.n_edges_full()
+        if n <= DENSE_COMPUTE_MAX_NODES:
+            # dense-compute / compact-store: exact forward, ~256-cell storage
+            # (the kernel's table width is n_top * (D + 1))
+            D = int(dm.parent_idx.shape[1])
+            n_top, n_warmup = max(40, 256 // (D + 1)), int(codes.shape[1])
+        else:
+            n_top, n_warmup = max(ADAPTIVE_FRONTIER_TOP, -(-n_active // 2)), 16
         _logp, map_nodes, map_logp = mappings_sparse_adaptive(
             dm, jnp.asarray(codes), jnp.asarray(lens),
-            n_top=max(ADAPTIVE_FRONTIER_TOP, -(-n_active // 2)),
-            n_active=n_active, max_ratio=max_ratio,
+            n_top=n_top, n_active=n_active, max_ratio=max_ratio,
+            n_warmup=n_warmup,
         )
     mn = np.asarray(map_nodes)
     ml = np.asarray(map_logp)

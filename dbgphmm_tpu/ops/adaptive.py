@@ -247,7 +247,9 @@ def _b_step_sparse(dm: DeviceModel, st: BCarry, cur_nodes: jnp.ndarray,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_top", "n_active", "max_ratio"))
+@functools.partial(
+    jax.jit, static_argnames=("n_top", "n_active", "max_ratio", "n_warmup")
+)
 def mappings_sparse_adaptive(
     dm: DeviceModel,
     codes: jnp.ndarray,
@@ -255,6 +257,7 @@ def mappings_sparse_adaptive(
     n_top: int = 40,
     n_active: int = 40,
     max_ratio: float = None,
+    n_warmup: int = 16,
 ):
     """Sparse forward + backward-by-forward + per-position top-k decode.
 
@@ -267,7 +270,9 @@ def mappings_sparse_adaptive(
     """
     B, L = codes.shape
     dtype = dm.init_logp.dtype
-    f = forward_sparse_adaptive(dm, codes, lens, n_top=n_top, max_ratio=max_ratio)
+    f = forward_sparse_adaptive(
+        dm, codes, lens, n_top=n_top, max_ratio=max_ratio, n_warmup=n_warmup
+    )
     A = f.nodes.shape[2]
     logp = f.e
 

@@ -73,3 +73,29 @@ def test_adaptive_on_dbg():
     )
     s_dense = forward_scores(dmn, jnp.asarray(codes), jnp.asarray(lens), renorm=False)
     assert np.all(np.abs(np.asarray(s_mapped) - np.asarray(s_dense)) < 0.1)
+
+
+def test_dense_compute_regime_matches_dense_store(monkeypatch):
+    """The dense-compute/compact-store mapping regime (n_warmup=L) must give
+    the same mapping as the exact dense-store decode on the same graph."""
+    import dbgphmm_tpu.multi_dbg.posterior as P
+    from dbgphmm_tpu.multi_dbg import MultiDbg
+    from dbgphmm_tpu.phmm.params import PHMMParams
+    from dbgphmm_tpu.seq.collection import ReadCollection, StyledSequence
+
+    h1 = b"TTAGGCTTCGATCGAATGCCAGGTTACGGA"
+    h2 = b"TTAGGCTTGGATCGAATGCCAGGTTACGGA"
+    dbg = MultiDbg.from_styled_seqs(8, [StyledSequence.linear(h1), StyledSequence.linear(h2)])
+    reads = ReadCollection([h1[1:25], h2[3:27], h1[:20]])
+    params = PHMMParams.uniform(0.001)
+
+    exact = P.generate_mappings(dbg, params, reads)
+
+    monkeypatch.setattr(P, "DENSE_MAPPING_MAX_NODES", 0)
+    dense_compute = P.generate_mappings(dbg, params, reads)
+
+    for me, mc in zip(exact.nodes, dense_compute.nodes):
+        for j in range(me.shape[0]):
+            se = set(me[j][me[j] >= 0].tolist())
+            sc = set(mc[j][mc[j] >= 0].tolist())
+            assert se == sc, (j, se, sc)
