@@ -71,8 +71,9 @@ def main():
     ).astype(np.int32)
     pos = precompute_positions(mn, parent_idx)
 
-    def run_pallas():
-        """Pallas full-scan kernel (compact-table); the fast path."""
+    def run_pallas(space="log"):
+        """Pallas full-scan kernel (compact-table); the production path
+        (log-space — full dynamic range; see ops/pallas_mapped.py)."""
         from dbgphmm_tpu.ops.pallas_mapped import (
             build_streams, eff_tables, lin_params_vector, pallas_mapped_scores,
         )
@@ -102,12 +103,14 @@ def main():
                 jnp.asarray(streams.emis), jnp.asarray(streams.numce),
                 jnp.asarray(streams.selfp), jnp.asarray(streams.prevp),
                 jnp.asarray(streams.curp), jnp.asarray(streams.dence), ltv)
-        np.asarray(pallas_mapped_scores(*args, n_max_gaps=4, TL=8))
+        np.asarray(pallas_mapped_scores(*args, n_max_gaps=4, TL=8, space=space))
         t0 = time.perf_counter()
-        out = np.asarray(pallas_mapped_scores(*args, n_max_gaps=4, TL=8))
+        out = np.asarray(
+            pallas_mapped_scores(*args, n_max_gaps=4, TL=8, space=space)
+        )
         dt = time.perf_counter() - t0
         assert np.all(np.isfinite(out[:, : len(lens)]))
-        return dt, "pallas"
+        return dt, f"pallas-{space}"
 
     def run_xla():
         @jax.jit
