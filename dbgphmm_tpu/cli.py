@@ -312,6 +312,94 @@ def cmd_sample_from_true(args):
     print(f"# wrote {args.output_prefix}.inspect/.post")
 
 
+def cmd_extend_mapping(args):
+    """(ref: bin/extend_mapping.rs; posterior/test.rs:145-237
+    test_mapping_extension) At each k: carry the mapping across purge/k+1
+    extension, compare its likelihood against a freshly computed mapping,
+    and dump both as .map files."""
+    import numpy as np
+
+    from .e2e import Dataset
+    from .multi_dbg import output as out
+    from .multi_dbg.posterior import Mappings, generate_mappings
+    from .ops import pad_reads
+    from .ops.batch import candidate_log_likelihoods
+    from .phmm.params import PHMMParams
+
+    ds = Dataset.from_json_file(args.dataset_json)
+    dbg = out.from_dbg_file(args.dbg_input)
+    params = PHMMParams.uniform(args.p_infer)
+    reads = ds.reads
+    paths = dbg.paths_from_styled_seqs(ds.genome)
+    mappings = generate_mappings(dbg, params, reads)
+    prefix = str(args.output_prefix)
+    codes, lens = pad_reads(list(reads))
+
+    def lists_to_mappings(maps_lists):
+        nodes, logps = [], []
+        for mp in maps_lists:
+            w = max(1, max((len(row) for row in mp), default=1))
+            nd = np.full((len(mp), w), -1, dtype=np.int64)
+            for j, row in enumerate(mp):
+                nd[j, : len(row)] = row
+            nodes.append(nd)
+            logps.append(np.zeros_like(nd, dtype=np.float64))
+        return Mappings(nodes, logps)
+
+    def likelihood_with(mps):
+        from .ops.sparse import pad_mappings
+
+        width = max(a.shape[1] for a in mps.nodes)
+        mn = pad_mappings(mps, codes.shape[1], width)
+        model = dbg.to_phmm(params)
+        return float(
+            candidate_log_likelihoods([model], codes, lens, map_nodes=mn)[0]
+        )
+
+    while dbg.k < args.k_max:
+        # true copy numbers from genome paths
+        cn_full = [0] * dbg.n_edges_full()
+        for p in paths:
+            if p is None:
+                continue
+            for e in p:
+                cn_full[e] += 1
+        cn = [
+            cn_full[dbg.edges_in_full(ec)[0]]
+            for ec in range(dbg.n_edges_compact())
+        ]
+        dbg.set_copy_nums(cn)
+        zero_edges = [
+            e for e in range(dbg.n_edges_compact())
+            if dbg.copy_num_of_edge_in_compact(e) == 0
+        ]
+        maps_as_lists = [
+            [row[row >= 0].tolist() for row in mp] for mp in mappings.nodes
+        ]
+        t0 = time.time()
+        dbg, paths, maps_ext = dbg.purge_and_extend(
+            zero_edges, args.k_max, True, paths, maps_as_lists
+        )
+        t_extend = time.time() - t0
+        mappings = lists_to_mappings(maps_ext)
+
+        t0 = time.time()
+        mappings_true = generate_mappings(dbg, params, reads)
+        t_map = time.time() - t0
+
+        out.to_map_file(dbg, f"{prefix}.k{dbg.k}.extend.map", reads, mappings)
+        out.to_map_file(dbg, f"{prefix}.k{dbg.k}.true.map", reads, mappings_true)
+        out.to_dbg_file(dbg, f"{prefix}.k{dbg.k}.dbg")
+        out.to_gfa_file(dbg, f"{prefix}.k{dbg.k}.gfa")
+
+        p_extend = likelihood_with(mappings)
+        p_true = likelihood_with(mappings_true)
+        print(
+            f"k={dbg.k} p_extend={p_extend:.4f} p_true={p_true:.4f} "
+            f"t_extend={t_extend * 1e3:.0f}ms t_map={t_map * 1e3:.0f}ms"
+        )
+
+
 def cmd_speed_test(args):
     """(ref: bin/speed_test.rs, hmmv2/speed.rs) Kernel micro-benchmarks."""
     import bench  # repo-root bench module when run from repo; else inline
@@ -449,6 +537,17 @@ def build_parser() -> argparse.ArgumentParser:
     sft.add_argument("-I", "--max-iter", type=int, default=10)
     sft.add_argument("-o", "--output-prefix", required=True)
     sft.set_defaults(fn=cmd_sample_from_true)
+
+    em = sub.add_parser(
+        "extend-mapping",
+        help="compare mapping upconversion across k vs fresh mapping",
+    )
+    em.add_argument("dataset_json")
+    em.add_argument("-d", "--dbg-input", required=True)
+    em.add_argument("-K", "--k-max", type=int, required=True)
+    em.add_argument("-p", "--p-infer", type=float, default=0.001)
+    em.add_argument("-o", "--output-prefix", required=True)
+    em.set_defaults(fn=cmd_extend_mapping)
 
     st = sub.add_parser("speed-test", help="kernel micro-benchmarks")
     st.set_defaults(fn=cmd_speed_test)

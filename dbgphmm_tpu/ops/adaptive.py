@@ -29,16 +29,16 @@ from .sparse import SState, _gather_prev, _gather_self, _lse_last, _s_step
 
 
 def _dedup_nodes(nodes: jnp.ndarray) -> jnp.ndarray:
-    """Mark duplicate node ids (per row) as -1. nodes: [B, A] int32."""
-    s = jnp.sort(nodes, axis=-1)
-    # a value is duplicate if equal to its neighbor in sorted order; mark all
-    # but first occurrence. We instead dedup on the original layout: a slot is
-    # kept if no earlier slot holds the same node.
-    B, A = nodes.shape
-    eq = nodes[:, :, None] == nodes[:, None, :]  # [B, A, A]
-    earlier = jnp.tril(jnp.ones((A, A), dtype=bool), k=-1)[None]
-    dup = jnp.any(eq & earlier, axis=-1)
-    return jnp.where(dup | (nodes < 0), -1, nodes)
+    """Mark duplicate node ids (per row) as -1. nodes: [B, A] int32.
+
+    Active-set slot order is arbitrary (all consumers match slots by node id),
+    so sort-and-compare-neighbors suffices: O(A log A) instead of the naive
+    [B, A, A] equality broadcast."""
+    s = jnp.sort(nodes, axis=-1)  # ascending; -1 padding sorts first
+    dup = jnp.concatenate(
+        [jnp.zeros_like(s[:, :1], dtype=bool), s[:, 1:] == s[:, :-1]], axis=1
+    )
+    return jnp.where(dup | (s < 0), -1, s)
 
 
 def _next_active(dm: DeviceModel, st: SState, n_top: int,

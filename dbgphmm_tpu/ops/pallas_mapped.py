@@ -205,20 +205,36 @@ def _make_kernel(TL: int, D: int, n_max_gaps: int, L: int):
         def gather_eff(idx):
             # idx [B, A] -> eff values [B, A].  Mosaic's dynamic gather only
             # supports same-shape index/value tensors, so pad the index to NC
-            # lanes and slice back.
+            # lanes (or lane-tile the table past NC) and slice back.
             A_ = idx.shape[1]
-            idx_p = jnp.concatenate(
-                [idx, jnp.zeros((B, NC - A_), dtype=idx.dtype)], axis=1
-            )
-            g = jnp.take_along_axis(
-                jnp.broadcast_to(eff[None, :], (B, NC)), idx_p, axis=1
-            )
+            if A_ < NC:
+                idx = jnp.concatenate(
+                    [idx, jnp.zeros((B, NC - A_), dtype=idx.dtype)], axis=1
+                )
+            reps = -(-idx.shape[1] // NC)
+            tab = jnp.broadcast_to(eff[None, :], (B, NC))
+            if reps > 1:
+                tab = jnp.concatenate([tab] * reps, axis=1)[:, : idx.shape[1]]
+            g = jnp.take_along_axis(tab, idx, axis=1)
             return g[:, :A_]
 
         def gather_tab(tab, idx):
             safe = jnp.where(idx >= 0, idx, 0)
             out = jnp.take_along_axis(tab, safe, axis=1)
             return jnp.where(idx >= 0, out, 0.0)
+
+        def gather_tab_multi(tab, idx_md):
+            # idx_md [D', B, A] -> one fused full-lane-width gather
+            Dp = idx_md.shape[0]
+            if Dp == 1:
+                return [gather_tab(tab, idx_md[0])]
+            A_ = idx_md.shape[2]
+            idx = jnp.concatenate([idx_md[d] for d in range(Dp)], axis=1)
+            safe = jnp.where(idx >= 0, idx, 0)
+            tab_t = jnp.concatenate([tab] * Dp, axis=1)
+            out = jnp.take_along_axis(tab_t, safe, axis=1)
+            out = jnp.where(idx >= 0, out, 0.0)
+            return [out[:, d * A_:(d + 1) * A_] for d in range(Dp)]
 
         for t in range(TL):
             x = codes_ref[t]  # [B]
@@ -227,9 +243,17 @@ def _make_kernel(TL: int, D: int, n_max_gaps: int, L: int):
 
             emis = emis_ref[t]  # [B, A]
             num = gather_eff(numce_ref[t])  # eff of slot's edge
-            den = jnp.zeros_like(num)
-            for dd in range(D):
-                den = den + gather_eff(dence_ref[t, dd])
+            if D == 1:
+                den = gather_eff(dence_ref[t, 0])
+            else:
+                A_ = emis.shape[1]
+                den_flat = gather_eff(
+                    jnp.concatenate([dence_ref[t, dd] for dd in range(D)],
+                                    axis=1)
+                )
+                den = jnp.zeros_like(num)
+                for dd in range(D):
+                    den = den + den_flat[:, dd * A_:(dd + 1) * A_]
             t_val = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
             init_p = num * inv_total
             p_emit = jnp.where(emis == x[:, None], p_match, p_mismatch)
@@ -244,38 +268,33 @@ def _make_kernel(TL: int, D: int, n_max_gaps: int, L: int):
             off = aux_ref[3]
             off_c = aux_ref[4]
 
+            # combine source tables once per step; one fused gather per
+            # frontier (gather distributes over the linear combination)
+            pre_m = pMM * m_prev + pIM * i_prev + pDM * d_prev
             inner = jnp.zeros_like(m_prev)
-            for dd in range(D):
-                pp = prevp_ref[t, dd]
-                inner = inner + (
-                    pMM * gather_tab(m_prev, pp)
-                    + pIM * gather_tab(i_prev, pp)
-                    + pDM * gather_tab(d_prev, pp)
-                )
+            for part in gather_tab_multi(pre_m, prevp_ref[t]):
+                inner = inner + part
             from_begin = init_p * (pMM * mb + pIM * ib)[:, None]
             m_new = p_emit * (t_val * inner + from_begin)
 
             sp = selfp_ref[t]
-            i_new = p_random * (
-                pMI * gather_tab(m_prev, sp)
-                + pII * gather_tab(i_prev, sp)
-                + pDI * gather_tab(d_prev, sp)
-            )
+            pre_i = pMI * m_prev + pII * i_prev + pDI * d_prev
+            i_new = p_random * gather_tab(pre_i, sp)
 
             mb_new = jnp.zeros_like(mb)
             ib_new = p_random * (pMI * mb + pII * ib)
 
+            pre_d = pMD * m_new + pID * i_new
             acc = jnp.zeros_like(m_new)
-            for dd in range(D):
-                cp = curp_ref[t, dd]
-                acc = acc + (pMD * gather_tab(m_new, cp) + pID * gather_tab(i_new, cp))
+            for part in gather_tab_multi(pre_d, curp_ref[t]):
+                acc = acc + part
             fd0 = t_val * acc + init_p * (pMD * mb_new + pID * ib_new)[:, None]
             d_new = fd0
             fdt = fd0
             for _ in range(n_max_gaps):
                 accd = jnp.zeros_like(fdt)
-                for dd in range(D):
-                    accd = accd + gather_tab(fdt, curp_ref[t, dd])
+                for part in gather_tab_multi(fdt, curp_ref[t]):
+                    accd = accd + part
                 fdt = t_val * (pDD * accd)
                 d_new = d_new + fdt
 
@@ -363,18 +382,36 @@ def _make_kernel_log(TL: int, D: int, n_max_gaps: int, L: int):
 
         def gather_eff(idx):
             A_ = idx.shape[1]
-            idx_p = jnp.concatenate(
-                [idx, jnp.zeros((B, NC - A_), dtype=idx.dtype)], axis=1
-            )
-            g = jnp.take_along_axis(
-                jnp.broadcast_to(eff[None, :], (B, NC)), idx_p, axis=1
-            )
+            if A_ < NC:
+                idx = jnp.concatenate(
+                    [idx, jnp.zeros((B, NC - A_), dtype=idx.dtype)], axis=1
+                )
+            reps = -(-idx.shape[1] // NC)
+            tab = jnp.broadcast_to(eff[None, :], (B, NC))
+            if reps > 1:
+                tab = jnp.concatenate([tab] * reps, axis=1)[:, : idx.shape[1]]
+            g = jnp.take_along_axis(tab, idx, axis=1)
             return g[:, :A_]
 
         def gather_log(tab, idx):
             safe = jnp.where(idx >= 0, idx, 0)
             out = jnp.take_along_axis(tab, safe, axis=1)
             return jnp.where(idx >= 0, out, NEGF)
+
+        def gather_log_multi(tab, idx_md):
+            # idx_md [D', B, A] -> D' gathers fused into ONE full-lane-width
+            # take_along_axis on [B, D'*A]; the table is lane-tiled only to
+            # satisfy Mosaic's same-shape gather constraint (indices < A).
+            Dp = idx_md.shape[0]
+            if Dp == 1:
+                return [gather_log(tab, idx_md[0])]
+            A_ = idx_md.shape[2]
+            idx = jnp.concatenate([idx_md[d] for d in range(Dp)], axis=1)
+            safe = jnp.where(idx >= 0, idx, 0)
+            tab_t = jnp.concatenate([tab] * Dp, axis=1)
+            out = jnp.take_along_axis(tab_t, safe, axis=1)
+            out = jnp.where(idx >= 0, out, NEGF)
+            return [out[:, d * A_:(d + 1) * A_] for d in range(Dp)]
 
         def ladd(a, b):
             mx = jnp.maximum(a, b)
@@ -391,9 +428,17 @@ def _make_kernel_log(TL: int, D: int, n_max_gaps: int, L: int):
 
             emis = emis_ref[t]  # [B, A]
             num = gather_eff(numce_ref[t])
-            den = jnp.zeros_like(num)
-            for dd in range(D):
-                den = den + gather_eff(dence_ref[t, dd])
+            if D == 1:
+                den = gather_eff(dence_ref[t, 0])
+            else:
+                A_ = emis.shape[1]
+                den_flat = gather_eff(
+                    jnp.concatenate([dence_ref[t, dd] for dd in range(D)],
+                                    axis=1)
+                )
+                den = jnp.zeros_like(num)
+                for dd in range(D):
+                    den = den + den_flat[:, dd * A_:(dd + 1) * A_]
             # log transition prob into each slot's edge; 0-copy -> NEGF
             ok_t = (num > 0) & (den > 0)
             l_tval = jnp.where(
@@ -420,47 +465,39 @@ def _make_kernel_log(TL: int, D: int, n_max_gaps: int, L: int):
             off = aux_ref[3]
             off_c = aux_ref[4]
 
-            inner = jnp.full_like(m_prev, NEGF)
-            for dd in range(D):
-                pp = prevp_ref[t, dd]
-                inner = ladd(
-                    inner,
-                    ladd3(
-                        lMM + gather_log(m_prev, pp),
-                        lIM + gather_log(i_prev, pp),
-                        lDM + gather_log(d_prev, pp),
-                    ),
-                )
+            # gather(ladd(a,b), idx) == ladd(gather(a), gather(b)): combine
+            # the three source tables ONCE per step, then one fused gather
+            # per frontier instead of three per degree column.
+            pre_m = ladd3(lMM + m_prev, lIM + i_prev, lDM + d_prev)
+            parts = gather_log_multi(pre_m, prevp_ref[t])
+            inner = parts[0]
+            for dd in range(1, D):
+                inner = ladd(inner, parts[dd])
             from_normal = l_tval + inner
             from_begin = l_init + ladd(lMM + mb, lIM + ib)[:, None]
             m_new = l_emit + ladd(from_normal, from_begin)
 
             sp = selfp_ref[t]
-            i_new = l_random + ladd3(
-                lMI + gather_log(m_prev, sp),
-                lII + gather_log(i_prev, sp),
-                lDI + gather_log(d_prev, sp),
-            )
+            pre_i = ladd3(lMI + m_prev, lII + i_prev, lDI + d_prev)
+            i_new = l_random + gather_log(pre_i, sp)
 
             mb_new = jnp.full_like(mb, NEGF)
             ib_new = l_random + ladd(lMI + mb, lII + ib)
 
-            acc = jnp.full_like(m_new, NEGF)
-            for dd in range(D):
-                cp = curp_ref[t, dd]
-                acc = ladd(
-                    acc,
-                    ladd(lMD + gather_log(m_new, cp),
-                         lID + gather_log(i_new, cp)),
-                )
+            pre_d = ladd(lMD + m_new, lID + i_new)
+            parts = gather_log_multi(pre_d, curp_ref[t])
+            acc = parts[0]
+            for dd in range(1, D):
+                acc = ladd(acc, parts[dd])
             fd0 = ladd(l_tval + acc,
                        l_init + ladd(lMD + mb_new, lID + ib_new)[:, None])
             d_new = fd0
             fdt = fd0
             for _ in range(n_max_gaps):
-                accd = jnp.full_like(fdt, NEGF)
-                for dd in range(D):
-                    accd = ladd(accd, gather_log(fdt, curp_ref[t, dd]))
+                parts = gather_log_multi(fdt, curp_ref[t])
+                accd = parts[0]
+                for dd in range(1, D):
+                    accd = ladd(accd, parts[dd])
                 fdt = l_tval + lDD + accd
                 d_new = ladd(d_new, fdt)
 

@@ -73,3 +73,20 @@ def test_edit_dist_cmd(simdir):
     r = run_cli(["edit-dist", "sim.genome.fa", "out.final.euler.fa"], simdir)
     assert r.returncode == 0, r.stderr
     assert "edit_dist=0" in r.stdout
+
+
+def test_extend_mapping_cmd(simdir):
+    r = run_cli(
+        ["extend-mapping", "sim.json", "-d", "sim.dbg", "-K", "16",
+         "-p", "0.001", "-o", "em"],
+        simdir,
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert "p_extend=" in r.stdout and "p_true=" in r.stdout
+    maps = list(simdir.glob("em.k*.extend.map"))
+    assert maps, "no extend.map written"
+    # extended mapping must score in the same ballpark as the fresh one
+    line = [l for l in r.stdout.splitlines() if l.startswith("k=")][-1]
+    fields = dict(f.split("=") for f in line.split() if "=" in f)
+    assert float(fields["p_extend"]) <= 0.0
+    assert float(fields["p_true"]) <= 0.0

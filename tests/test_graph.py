@@ -223,3 +223,45 @@ def test_split_node():
     assert g2.edge_sources[1] == 4
     assert g2.edge(2) == "bridge"
     assert g2.edge_endpoints(2) == (3, 4)
+
+
+def test_bipartite():
+    from dbgphmm_tpu.graph import Bipartite
+
+    bi = Bipartite.from_fn("node7", ["a", "b"], ["x", "y", "z"],
+                           lambda i, j: (i, j))
+    assert bi.n_in() == 2 and bi.n_out() == 3
+    assert bi.in_node(1) == "b" and bi.out_node(2) == "z"
+    assert bi.edge(1, 2) == (1, 2)
+    assert bi.edge_index(1, 0) == 3
+    assert list(bi.iter_edges())[0] == (0, 0, (0, 0))
+    import pytest
+
+    with pytest.raises(IndexError):
+        bi.edge(2, 0)
+
+
+def test_shortest_cycle():
+    # triangle 0->1->2->0 plus reverse edge 1->0 (ref shortest_cycle.rs test)
+    from dbgphmm_tpu.graph import shortest_cycle
+
+    g = DiGraph()
+    for _ in range(3):
+        g.add_node(None)
+    e01 = g.add_edge(0, 1, None)
+    e10 = g.add_edge(1, 0, None)
+    g.add_edge(1, 2, None)
+    g.add_edge(2, 1, None)
+    g.add_edge(2, 0, None)
+    g.add_edge(0, 2, None)
+    # shortest cycle through 0->1 forbidding the direct back edge 1->0:
+    # must go 1 -> 2 -> 0
+    assert shortest_cycle(g, e01, e10) == [1, 2, 0]
+    # allowing it: direct back edge wins
+    assert shortest_cycle(g, e01) == [1, 0]
+    # no cycle case
+    h = DiGraph()
+    h.add_node(None)
+    h.add_node(None)
+    e = h.add_edge(0, 1, None)
+    assert shortest_cycle(h, e) is None
