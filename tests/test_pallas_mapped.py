@@ -158,3 +158,28 @@ def test_pallas_log_kernel_matches_f64(setup):
         if np.isfinite(ref):
             np.testing.assert_allclose(got[c], ref, atol=0.5, rtol=1e-4), c
     assert (ok == np.isfinite(got)).all()
+
+
+def test_pallas_wide_mapping_width(setup):
+    """Mapping widths above one 64-lane tile (A0=80 -> A=80, D*A=160-lane
+    fused gathers) must still match the XLA positions kernel."""
+    from dbgphmm_tpu.ops.pallas_mapped import PallasMappedScorer
+    from dbgphmm_tpu.ops.batch import candidate_log_likelihoods
+    from dbgphmm_tpu.ops.sparse import precompute_positions
+
+    dbg, params, tpl, pos, codes, lens, candidates = setup
+    # widen the mapping arrays to 80 slots (pad with -1: unused slots)
+    mn = pos.map_nodes
+    B, L, A0 = mn.shape
+    wide = np.full((B, L, 80), -1, dtype=mn.dtype)
+    wide[:, :, :A0] = mn
+    pos_w = precompute_positions(wide, tpl.parent_idx,
+                                 parent_exists=tpl.parent_exists)
+    scorer = PallasMappedScorer(tpl, pos_w, codes, lens, tpl.params,
+                                space="log")
+    scorer.interpret = True
+    assert scorer.streams.emis.shape[2] == 80
+    got = scorer.scores(candidates)
+    models = [tpl.model_for(cn) for cn in candidates]
+    ref = candidate_log_likelihoods(models, codes, lens, positions=pos_w)
+    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=1e-5)
