@@ -29,16 +29,23 @@ from .sparse import SState, _gather_prev, _gather_self, _lse_last, _s_step
 
 
 def _dedup_nodes(nodes: jnp.ndarray) -> jnp.ndarray:
-    """Mark duplicate node ids (per row) as -1. nodes: [B, A] int32.
+    """Mark duplicate node ids (per row) as -1, PRESERVING slot order.
+    nodes: [B, A] int32.
 
-    Active-set slot order is arbitrary (all consumers match slots by node id),
-    so sort-and-compare-neighbors suffices: O(A log A) instead of the naive
-    [B, A, A] equality broadcast."""
-    s = jnp.sort(nodes, axis=-1)  # ascending; -1 padding sorts first
+    Slot order is priority order: callers truncate the result with ``[:, :A]``
+    (forward_sparse_adaptive), so the score-ranked top nodes in the leading
+    slots must stay in the leading slots.  Sort to find duplicates in
+    O(A log A), then unsort via the argsort permutation so every surviving id
+    sits in its original slot.  argsort is stable, so among duplicates the
+    EARLIEST (highest-priority) slot keeps the id."""
+    order = jnp.argsort(nodes, axis=-1)
+    s = jnp.take_along_axis(nodes, order, axis=-1)
     dup = jnp.concatenate(
         [jnp.zeros_like(s[:, :1], dtype=bool), s[:, 1:] == s[:, :-1]], axis=1
     )
-    return jnp.where(dup | (s < 0), -1, s)
+    s = jnp.where(dup | (s < 0), -1, s)
+    inv = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(s, inv, axis=-1)
 
 
 def _next_active(dm: DeviceModel, st: SState, n_top: int,

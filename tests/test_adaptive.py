@@ -27,6 +27,27 @@ def test_adaptive_forward_score_matches_dense():
     assert np.all(diff < 1e-6), diff
 
 
+def test_adaptive_truncation_keeps_top_nodes():
+    """Regression: when the candidate width n_top*(D+1) exceeds the slot
+    count A (small graphs, n < n_top*(D+1)), the [:, :A] truncation after
+    dedup must keep the score-ranked top nodes, not -1 padding / low ids.
+    Repro from round-1 advisor: n=128 linear PHMM, n_top=60, read from the
+    high-id end — a sorted dedup returns -1-first rows and the sparse score
+    collapses to -inf."""
+    m = linear_random_phmm(100, 0, PHMMParams.default())
+    dm = to_device(m, dtype=jnp.float64)
+    seq = generate(100, 0)
+    reads = [seq[60:95]]  # high-id end of the graph
+    codes, lens = pad_reads(reads)
+    dense = forward_scores(dm, jnp.asarray(codes), jnp.asarray(lens), renorm=False)
+    f = forward_sparse_adaptive(
+        dm, jnp.asarray(codes), jnp.asarray(lens), n_top=60, n_warmup=4
+    )
+    assert np.all(np.isfinite(np.asarray(f.e)))
+    diff = np.abs(np.asarray(f.e) - np.asarray(dense))
+    assert np.all(diff < 1e-6), diff
+
+
 def test_adaptive_mappings_match_dense_mappings():
     m = linear_random_phmm(200, 1, PHMMParams.default())
     dm = to_device(m, dtype=jnp.float64)
