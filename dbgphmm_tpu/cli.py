@@ -34,6 +34,19 @@ def _setup_jax(use_cpu: bool):
         pass
 
 
+def _make_mesh_from_arg(spec):
+    """--mesh 'CxR' or 'N' -> ("cand", "reads") Mesh, or None."""
+    if not spec:
+        return None
+    from .parallel.sharding import make_mesh
+
+    if "x" in spec:
+        c, r = (int(v) for v in spec.split("x", 1))
+    else:
+        c, r = 1, int(spec)
+    return make_mesh(c * r, cand_axis=c)
+
+
 def cmd_raw_dbg(args):
     from .hashdbg import HashDbg
     from .multi_dbg import MultiDbg
@@ -104,6 +117,7 @@ def _run_inference(dbg, reads, args, paths_true=None):
         on_iter=on_iter,
         paths=paths_true,
         verbose=True,
+        mesh=_make_mesh_from_arg(getattr(args, "mesh", None)),
     )
     out.to_dbg_file(dbg_final, f"{prefix}.final.dbg")
     out.to_gfa_file(dbg_final, f"{prefix}.final.gfa")
@@ -192,10 +206,12 @@ def cmd_sample(args):
     reads = ReadCollection.from_fasta(args.read_fasta)
     dbg = out.from_dbg_file(args.dbg_input)
     params = PHMMParams.uniform(args.p_error)
-    mappings = generate_mappings(dbg, params, reads)
+    mesh = _make_mesh_from_arg(getattr(args, "mesh", None))
+    mappings = generate_mappings(dbg, params, reads, mesh=mesh)
     post = sample_posterior(
         dbg, params, reads, mappings, args.genome_size, args.genome_size_sigma,
         max_iter=args.max_iter, rescue_only=not args.full, verbose=True,
+        mesh=mesh,
     )
     out.to_post_file(post, f"{args.output_prefix}.post")
     out.to_inspect_file(dbg, f"{args.output_prefix}.inspect", post)
@@ -413,6 +429,12 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native Bayesian genome assembler (dbgphmm_tpu)",
     )
     p.add_argument("--cpu", action="store_true", help="force JAX CPU backend")
+    p.add_argument(
+        "--mesh", default=None, metavar="CxR",
+        help="shard over a device mesh: 'CxR' (candidates x reads, e.g. 2x4)"
+             " or a device count N (reads-sharded 1xN); replaces the"
+             " reference's -t thread count (rayon read fan-out)",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     rd = sub.add_parser("raw-dbg", help="construct raw DBG from reads -> GFA")

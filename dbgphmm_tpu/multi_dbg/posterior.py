@@ -122,6 +122,7 @@ def generate_mappings(
     n_active: int = MAPPING_WIDTH_CAP,
     dtype=None,
     max_ratio: Optional[float] = "default",
+    mesh=None,
 ) -> Mappings:
     """Posterior state decode on the non-zero PHMM -> per-base active nodes
     by score ratio under a top-k cap (ref: posterior.rs:609-637
@@ -129,7 +130,12 @@ def generate_mappings(
 
     Uses the dense forward/backward for small graphs (exact) and the
     sparse-adaptive kernel beyond DENSE_MAPPING_MAX_NODES (the reference's
-    run_sparse_adaptive path, freq.rs:60)."""
+    run_sparse_adaptive path, freq.rs:60).
+
+    With ``mesh``, the read batch is sharded over ALL mesh devices (mapping
+    generation has no candidate axis — the reference parallelizes it over
+    reads, hint.rs:199-220) and the graph arrays are replicated; outputs are
+    gathered to host."""
     import jax.numpy as jnp
 
     from ..ops.forward import default_dtype
@@ -141,9 +147,21 @@ def generate_mappings(
     model = dbg.to_phmm(params, mode="non_zero")
     dm = to_device(model, dtype=dtype)
     codes, lens = pad_reads(list(reads))
+    n_reads = codes.shape[0]
+    codes_d, lens_d = jnp.asarray(codes), jnp.asarray(lens)
+    if mesh is not None:
+        from ..ops.batch import _pad_reads_axis
+        from ..parallel.sharding import (
+            mesh_read_axis_size, put_read_sharded, put_replicated,
+        )
+
+        n_shard = mesh_read_axis_size(mesh, flat=True)
+        codes_d = put_read_sharded(mesh, _pad_reads_axis(codes, n_shard, -1), 0)
+        lens_d = put_read_sharded(mesh, _pad_reads_axis(lens, n_shard, 0), 0)
+        dm = put_replicated(mesh, dm)
     if dbg.n_edges_full() <= DENSE_MAPPING_MAX_NODES:
         _logp, _freqs, map_nodes, map_logp = node_freqs_and_mappings(
-            dm, jnp.asarray(codes), jnp.asarray(lens), renorm=True,
+            dm, codes_d, lens_d, renorm=True,
             n_active=n_active, max_ratio=max_ratio,
         )
     else:
@@ -158,12 +176,12 @@ def generate_mappings(
         else:
             n_top, n_warmup = max(ADAPTIVE_FRONTIER_TOP, -(-n_active // 2)), 16
         _logp, map_nodes, map_logp = mappings_sparse_adaptive(
-            dm, jnp.asarray(codes), jnp.asarray(lens),
+            dm, codes_d, lens_d,
             n_top=n_top, n_active=n_active, max_ratio=max_ratio,
             n_warmup=n_warmup,
         )
-    mn = np.asarray(map_nodes)
-    ml = np.asarray(map_logp)
+    mn = np.asarray(map_nodes)[:n_reads]
+    ml = np.asarray(map_logp)[:n_reads]
     mn, ml = _trim_mapping_width(mn, ml)
     nodes, logps = [], []
     for i, L in enumerate(lens):
@@ -282,14 +300,16 @@ def pallas_scoring_enabled() -> bool:
     return jax.default_backend() != "cpu"
 
 
-def make_pallas_scorer(template, positions, codes, lens, params):
+def make_pallas_scorer(template, positions, codes, lens, params, mesh=None):
     """Build the Pallas candidate scorer, or None if unavailable."""
     if not pallas_scoring_enabled():
         return None
     try:
         from ..ops.pallas_mapped import PallasMappedScorer
 
-        return PallasMappedScorer(template, positions, codes, lens, params)
+        return PallasMappedScorer(
+            template, positions, codes, lens, params, mesh=mesh
+        )
     except Exception as e:  # pragma: no cover - depends on backend
         print(f"[posterior] pallas scorer unavailable ({type(e).__name__}: {e}); "
               "using XLA kernel")
@@ -310,11 +330,13 @@ def score_candidates(
     positions=None,
     template=None,
     pallas_scorer=None,
+    mesh=None,
 ) -> List[Score]:
     """Evaluate Score for a batch of copy-number candidates: likelihoods on
     device (one vmapped launch — mapping-constrained when ``map_nodes`` is
     given; the Pallas full-scan kernel when ``pallas_scorer`` is set),
-    prior + Euler count on host."""
+    prior + Euler count on host.  ``mesh`` shards candidates x reads
+    (the Pallas scorer carries its own mesh, set at construction)."""
     import jax.numpy as jnp
 
     from ..ops.forward import default_dtype
@@ -339,6 +361,7 @@ def score_candidates(
                 )
                 exact = candidate_log_likelihoods(
                     models, codes, lens, dtype=dtype, positions=positions,
+                    mesh=mesh,
                 )
                 for j, i in enumerate(bad):
                     lls[i] = exact[j]
@@ -350,7 +373,7 @@ def score_candidates(
         models = _phmm_models_for_candidates(dbg, params, candidates, template)
         lls = candidate_log_likelihoods(
             models, codes, lens, dtype=dtype, map_nodes=map_nodes,
-            positions=positions,
+            positions=positions, mesh=mesh,
         )
     t_like = time.time() - t0
 
@@ -389,6 +412,7 @@ def sample_posterior(
     rescue_only: bool = True,
     dtype=None,
     verbose: bool = False,
+    mesh=None,
 ) -> Posterior:
     if neighbor_config is None:
         neighbor_config = NeighborConfig()
@@ -418,7 +442,7 @@ def sample_posterior(
         t_pos = time.time() - t0
         t0 = time.time()
         pallas_scorer = make_pallas_scorer(
-            template, positions, codes, lens, template.params
+            template, positions, codes, lens, template.params, mesh=mesh
         )
         log(f"setup: positions {t_pos:.1f}s, scorer streams "
             f"{time.time()-t0:.1f}s (width={width})")
@@ -446,6 +470,7 @@ def sample_posterior(
             work, params, reads, [cn for cn, _i in uniq],
             genome_size_expected, genome_size_sigma, codes, lens, dtype,
             positions=positions, template=template, pallas_scorer=pallas_scorer,
+            mesh=mesh,
         )
         for (cn, info), sc in zip(uniq, scores):
             post.add(PosteriorSample(cn, sc, infos_init + [info]))
@@ -455,6 +480,7 @@ def sample_posterior(
         work, params, reads, [copy_nums], genome_size_expected,
         genome_size_sigma, codes, lens, dtype,
         positions=positions, template=template, pallas_scorer=pallas_scorer,
+        mesh=mesh,
     )
     post.add(PosteriorSample(copy_nums, init_scores[0], []))
 
@@ -506,7 +532,7 @@ def sample_posterior(
                         work, params, reads, [cur], genome_size_expected,
                         genome_size_sigma, codes, lens, dtype,
                         positions=positions, template=template,
-                        pallas_scorer=pallas_scorer,
+                        pallas_scorer=pallas_scorer, mesh=mesh,
                     )
                     post.add(PosteriorSample(cur, scores[0], infos + [mm_info]))
 
@@ -575,11 +601,12 @@ def infer_posterior_by_extension(
     n_haplotypes: Optional[int] = None,
     dtype=None,
     verbose: bool = False,
+    mesh=None,
 ):
     log = (lambda *a: print("[infer]", *a)) if verbose else (lambda *a: None)
     dbg = dbg_init.copy()
     if mappings is None:
-        mappings = generate_mappings(dbg, param_error, reads, dtype=dtype)
+        mappings = generate_mappings(dbg, param_error, reads, dtype=dtype, mesh=mesh)
     coverage = sum(len(r) for r in reads) / genome_size_expected
 
     while True:
@@ -587,7 +614,7 @@ def infer_posterior_by_extension(
         posterior = sample_posterior(
             dbg, param_infer, reads, mappings, genome_size_expected,
             genome_size_sigma, neighbor_config, max_iter, rescue_only=True,
-            dtype=dtype, verbose=verbose,
+            dtype=dtype, verbose=verbose, mesh=mesh,
         )
         dbg.set_copy_nums(posterior.max_copy_nums())
         log(f"k={dbg.k} posterior sampled in {time.time()-t0:.1f}s "
@@ -605,7 +632,7 @@ def infer_posterior_by_extension(
         )
         log(f"extended to k={dbg.k} in {time.time()-t0:.1f}s")
         t0 = time.time()
-        mappings = generate_mappings(dbg, param_error, reads, dtype=dtype)
+        mappings = generate_mappings(dbg, param_error, reads, dtype=dtype, mesh=mesh)
         log(f"mappings regenerated in {time.time()-t0:.1f}s")
         freqs = mappings.to_node_freqs(dbg.n_edges_full())
         # reference hardcodes Some(2) haplotypes here (posterior.rs:798);
@@ -617,11 +644,11 @@ def infer_posterior_by_extension(
         dbg.set_copy_nums(cn)
 
     # final full-neighborhood sampling with the error params
-    mappings = generate_mappings(dbg, param_error, reads, dtype=dtype)
+    mappings = generate_mappings(dbg, param_error, reads, dtype=dtype, mesh=mesh)
     posterior = sample_posterior(
         dbg, param_error, reads, mappings, genome_size_expected,
         genome_size_sigma, neighbor_config, max_iter, rescue_only=False,
-        dtype=dtype, verbose=verbose,
+        dtype=dtype, verbose=verbose, mesh=mesh,
     )
     dbg.set_copy_nums(posterior.max_copy_nums())
     return dbg, posterior, paths, mappings

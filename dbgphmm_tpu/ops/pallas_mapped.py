@@ -624,6 +624,48 @@ def lin_params_from_phmm_params(params) -> jnp.ndarray:
     return jnp.asarray([np.exp(lg[k]) for k in order], dtype=jnp.float32)
 
 
+def pallas_mapped_scores_sharded(
+    mesh, eff, inv_total, lens, codes, emis, numce, selfp, prevp, curp,
+    dence, lt_lin, n_max_gaps: int, TL: int, interpret: bool, space: str,
+):
+    """shard_map wrapper: candidates sharded along the mesh's "cand" axis,
+    reads along "reads"; each device runs the full-scan kernel on its local
+    (C_loc, B_loc) block.  No collective is needed for the [C, B] per-read
+    scores themselves — the cross-read sum happens in the caller (host or a
+    later jnp.sum, which XLA lowers to a psum over "reads").
+
+    Replaces the reference's rayon fan-outs (freq.rs:175-192 reads,
+    posterior.rs:504-515 candidates) with the two mesh axes."""
+    import functools as _ft
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = _ft.partial(
+        pallas_mapped_scores, n_max_gaps=n_max_gaps, TL=TL,
+        interpret=interpret, space=space,
+    )
+    cand = P("cand", None)
+    reads1 = P("reads")
+    in_specs = (
+        cand, cand, reads1,
+        P(None, "reads"),                 # codes [L, B]
+        P(None, "reads", None),           # emis [L, B, A]
+        P(None, "reads", None),           # numce
+        P(None, "reads", None),           # selfp
+        P(None, None, "reads", None),     # prevp [L, D, B, A]
+        P(None, None, "reads", None),     # curp
+        P(None, None, "reads", None),     # dence
+        P(),                              # lt_lin
+    )
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # metadata, and the kernel output is trivially per-shard
+    sm = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                   out_specs=P("cand", "reads"), check_vma=False)
+    return sm(eff, inv_total, lens, codes, emis, numce, selfp, prevp, curp,
+              dence, lt_lin)
+
+
 class PallasMappedScorer:
     """Production candidate scorer on the Pallas full-scan kernel.
 
@@ -633,12 +675,18 @@ class PallasMappedScorer:
     to_full_prob_reads over forward_with_mapping_score_only).  All candidate
     dependence enters as the eff table, so there is no per-candidate model
     construction at all.
+
+    With ``mesh``, the evaluation is shard_mapped over the ("cand", "reads")
+    mesh: read streams are laid out once, sharded along the read axis, and
+    candidate eff tables along the candidate axis.
     """
 
     def __init__(self, template, positions, codes: np.ndarray,
-                 lens: np.ndarray, params, TL: int = 8, space: str = "log"):
+                 lens: np.ndarray, params, TL: int = 8, space: str = "log",
+                 mesh=None):
         self.TL = TL
         self.space = space
+        self.mesh = mesh
         B, L = codes.shape
         if L % TL != 0:
             pad = -(-L // TL) * TL - L
@@ -656,7 +704,12 @@ class PallasMappedScorer:
                 cur_pos=ext(positions.cur_pos, -1),
                 self_pos=ext(positions.self_pos, -1),
             )
-        self.streams = build_streams(template, positions, codes, lens, None)
+        b_pad = 8
+        if mesh is not None:
+            b_pad = 8 * mesh.shape["reads"]
+        self.streams = build_streams(
+            template, positions, codes, lens, None, b_pad=b_pad
+        )
         self.ltv = lin_params_from_phmm_params(params)
         self.n_max_gaps = params.n_max_gaps
         self.n_reads = B
@@ -666,11 +719,18 @@ class PallasMappedScorer:
     def _device_args(self):
         if self._dev is None:
             s = self.streams
-            self._dev = tuple(
-                jnp.asarray(a)
-                for a in (s.lens, s.codes, s.emis, s.numce, s.selfp,
-                          s.prevp, s.curp, s.dence)
-            )
+            arrs = (s.lens, s.codes, s.emis, s.numce, s.selfp,
+                    s.prevp, s.curp, s.dence)
+            if self.mesh is None:
+                self._dev = tuple(jnp.asarray(a) for a in arrs)
+            else:
+                from ..parallel.sharding import put_read_sharded
+
+                read_axes = (0, 1, 1, 1, 1, 2, 2, 2)
+                self._dev = tuple(
+                    put_read_sharded(self.mesh, a, ax, flat=False)
+                    for a, ax in zip(arrs, read_axes)
+                )
         return self._dev
 
     def scores_detailed(self, candidates):
@@ -686,19 +746,37 @@ class PallasMappedScorer:
         pad = 1
         while pad < C:
             pad *= 2
+        if self.mesh is not None:
+            n_cand_shard = self.mesh.shape["cand"]
+            pad = -(-pad // n_cand_shard) * n_cand_shard
         cands = list(candidates) + [candidates[0]] * (pad - C)
         eff, inv_total = eff_tables(self.streams, cands)
         args = self._device_args()
         # trace with x64 disabled: the CLI enables jax_enable_x64 globally,
         # but Mosaic rejects 64-bit types; every input here is already 32-bit
         with jax.enable_x64(False):
-            out = np.asarray(
-                pallas_mapped_scores(
-                    jnp.asarray(eff), jnp.asarray(inv_total), *args, self.ltv,
-                    n_max_gaps=self.n_max_gaps, TL=self.TL,
-                    interpret=self.interpret, space=self.space,
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                cand_sh = NamedSharding(self.mesh, P("cand"))
+                out = np.asarray(
+                    pallas_mapped_scores_sharded(
+                        self.mesh,
+                        jax.device_put(jnp.asarray(eff), cand_sh),
+                        jax.device_put(jnp.asarray(inv_total), cand_sh),
+                        *args, self.ltv,
+                        n_max_gaps=self.n_max_gaps, TL=self.TL,
+                        interpret=self.interpret, space=self.space,
+                    )
                 )
-            )
+            else:
+                out = np.asarray(
+                    pallas_mapped_scores(
+                        jnp.asarray(eff), jnp.asarray(inv_total), *args, self.ltv,
+                        n_max_gaps=self.n_max_gaps, TL=self.TL,
+                        interpret=self.interpret, space=self.space,
+                    )
+                )
         per_read = out[:C, : self.n_reads].astype(np.float64)
         ok = np.isfinite(per_read).all(axis=1)
         return per_read.sum(axis=1), ok

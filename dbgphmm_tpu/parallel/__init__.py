@@ -9,6 +9,9 @@ reduced with a ``psum``-backed sum that rides ICI.
 
 from .sharding import (  # noqa: F401
     make_mesh,
+    mesh_read_axis_size,
+    put_read_sharded,
+    put_replicated,
     sharded_candidate_log_likelihoods,
     sharded_forward_total,
 )

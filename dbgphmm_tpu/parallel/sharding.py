@@ -36,6 +36,27 @@ def make_mesh(
     return Mesh(devs, axis_names=("cand", "reads"))
 
 
+def mesh_read_axis_size(mesh: Mesh, flat: bool = False) -> int:
+    """Number of shards along the read axis.  ``flat=True`` counts the whole
+    mesh (read-only workloads shard over every device)."""
+    if flat:
+        return mesh.shape["cand"] * mesh.shape["reads"]
+    return mesh.shape["reads"]
+
+
+def put_read_sharded(mesh: Mesh, arr, axis: int, flat: bool = True):
+    """device_put an array sharded along its read axis (all mesh devices when
+    ``flat``, else only the "reads" axis).  The array's read dimension must
+    already be padded to a multiple of the shard count."""
+    spec = [None] * np.asarray(arr).ndim
+    spec[axis] = ("cand", "reads") if flat else "reads"
+    return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P(*spec)))
+
+
+def put_replicated(mesh: Mesh, tree):
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
 def _pad_to_multiple(arr: np.ndarray, m: int, axis: int, fill):
     n = arr.shape[axis]
     pad = (-n) % m
