@@ -79,26 +79,31 @@ def cmd_draft(args):
         out.to_gfa_file(dbg, args.gfa_output)
 
 
-def _run_inference(dbg, reads, args, paths_true=None):
+def _run_inference(dbg, reads, args, paths_true=None, mappings=None):
     from .multi_dbg import output as out
     from .multi_dbg.posterior import infer_posterior_by_extension
     from .phmm.params import PHMMParams
 
     prefix = str(args.output_prefix)
 
+    def _true_compact_copy_nums(dbg_k, paths):
+        """Per-compact-edge true copy numbers from surviving full-edge paths
+        (ref: posterior/output.rs:188-190 'diff to true' column)."""
+        if paths is None or not all(p is not None for p in paths):
+            return None
+        cn = [0] * dbg_k.n_edges_full()
+        for p in paths:
+            for e in p:
+                cn[e] += 1
+        return [
+            cn[dbg_k.edges_in_full(ec)[0]] for ec in range(dbg_k.n_edges_compact())
+        ]
+
     def on_iter(dbg_k, posterior, paths, mappings):
         k = dbg_k.k
-        copy_nums_true = None
-        if paths is not None and all(p is not None for p in paths):
-            work = dbg_k.copy()
-            cn = [0] * work.n_edges_full()
-            for p in paths:
-                for e in p:
-                    cn[e] += 1
-            copy_nums_true = [
-                cn[work.edges_in_full(ec)[0]] for ec in range(work.n_edges_compact())
-            ]
+        copy_nums_true = _true_compact_copy_nums(dbg_k, paths)
         out.to_dbg_file(dbg_k, f"{prefix}.k{k}.dbg")
+        out.to_map_file(dbg_k, f"{prefix}.k{k}.map.mpz", reads, mappings)
         out.to_post_file(posterior, f"{prefix}.k{k}.post")
         out.to_gfa_file(dbg_k, f"{prefix}.k{k}.gfa")
         out.to_inspect_file(dbg_k, f"{prefix}.k{k}.inspect", posterior, copy_nums_true)
@@ -116,12 +121,18 @@ def _run_inference(dbg, reads, args, paths_true=None):
         p0=args.p0,
         on_iter=on_iter,
         paths=paths_true,
+        mappings=mappings,
         verbose=True,
         mesh=_make_mesh_from_arg(getattr(args, "mesh", None)),
     )
     out.to_dbg_file(dbg_final, f"{prefix}.final.dbg")
     out.to_gfa_file(dbg_final, f"{prefix}.final.gfa")
-    out.to_inspect_file(dbg_final, f"{prefix}.final.inspect", posterior)
+    out.to_inspect_file(
+        dbg_final,
+        f"{prefix}.final.inspect",
+        posterior,
+        _true_compact_copy_nums(dbg_final, paths),
+    )
     dbg_final.to_fasta_linear(f"{prefix}.final.euler.fa")
     print(f"# wrote {prefix}.final.*")
     return dbg_final, posterior
@@ -133,7 +144,12 @@ def cmd_infer(args):
 
     reads = ReadCollection.from_fasta(args.read_fasta)
     dbg = out.from_dbg_file(args.dbg_input)
-    _run_inference(dbg, reads, args)
+    mappings = None
+    if getattr(args, "map_input", None):
+        # restart from a dumped .map/.mpz instead of recomputing the
+        # initial mappings (ref: bin/infer.rs:44-48 --map)
+        mappings = out.from_map_file(args.map_input)
+    _run_inference(dbg, reads, args, mappings=mappings)
 
 
 def cmd_euler(args):
@@ -351,7 +367,7 @@ def cmd_extend_mapping(args):
     prefix = str(args.output_prefix)
     codes, lens = pad_reads(list(reads))
 
-    def lists_to_mappings(maps_lists):
+    def lists_to_mappings(maps_lists, read_logps=None):
         nodes, logps = [], []
         for mp in maps_lists:
             w = max(1, max((len(row) for row in mp), default=1))
@@ -359,8 +375,11 @@ def cmd_extend_mapping(args):
             for j, row in enumerate(mp):
                 nd[j, : len(row)] = row
             nodes.append(nd)
-            logps.append(np.zeros_like(nd, dtype=np.float64))
-        return Mappings(nodes, logps)
+            # placeholder weights: the raw upconverted hint has no posterior
+            # probs yet (they come from the refine step below); nan marks
+            # them as not-a-real-posterior for downstream readers
+            logps.append(np.full(nd.shape, np.nan))
+        return Mappings(nodes, logps, read_logps)
 
     def likelihood_with(mps):
         from .ops.sparse import pad_mappings
@@ -397,7 +416,13 @@ def cmd_extend_mapping(args):
             zero_edges, args.k_max, True, paths, maps_as_lists
         )
         t_extend = time.time() - t0
-        mappings = lists_to_mappings(maps_ext)
+        # refine: re-run the decode seeded with the extended mapping before
+        # scoring and before carrying it to the next k
+        # (ref: posterior/test.rs:184-187)
+        hint = lists_to_mappings(maps_ext, getattr(mappings, "read_logps", None))
+        t0 = time.time()
+        mappings = generate_mappings(dbg, params, reads, hint=hint, verbose=True)
+        t_refine = time.time() - t0
 
         t0 = time.time()
         mappings_true = generate_mappings(dbg, params, reads)
@@ -412,7 +437,8 @@ def cmd_extend_mapping(args):
         p_true = likelihood_with(mappings_true)
         print(
             f"k={dbg.k} p_extend={p_extend:.4f} p_true={p_true:.4f} "
-            f"t_extend={t_extend * 1e3:.0f}ms t_map={t_map * 1e3:.0f}ms"
+            f"t_extend={t_extend * 1e3:.0f}ms t_refine={t_refine * 1e3:.0f}ms "
+            f"t_map={t_map * 1e3:.0f}ms"
         )
 
 
@@ -459,6 +485,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     inf = sub.add_parser("infer", help="posterior inference k0 -> K")
     inf.add_argument("-d", "--dbg-input", required=True)
+    inf.add_argument(
+        "--map", dest="map_input", default=None,
+        help="restart from a dumped .map/.mpz mappings file (ref: bin/infer.rs:44-48)",
+    )
     inf.add_argument("-o", "--output-prefix", required=True)
     inf.add_argument("-K", "--k-max", type=int, required=True)
     inf.add_argument("-G", "--genome-size", type=int, required=True)

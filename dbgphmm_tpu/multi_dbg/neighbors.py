@@ -37,13 +37,23 @@ UpdateCycle = List[Tuple[int, str]]
 
 @dataclass
 class NeighborConfig:
-    """(ref: neighbors.rs:32-50)"""
+    """(ref: neighbors.rs:32-50)
+
+    The rescue_* fields configure the rescue-cycle search; the reference
+    hardcodes these at the call site (posterior.rs:349 — 5, 20, true, 4,
+    true), we expose them here with the same defaults.
+    """
 
     max_cycle_size: int = 10
     max_flip: int = 2
     use_long_cycles: bool = True
     ignore_cycles_passing_terminal: bool = True
     use_reducers: bool = True
+    rescue_k_non_zero: int = 5
+    rescue_k_zero: int = 20
+    rescue_weighted_by_copy_num: bool = True
+    rescue_k_total: int = 4
+    rescue_sort_by_freq: bool = True
 
 
 @dataclass

@@ -260,22 +260,14 @@ def to_gfa_file(dbg: MultiDbg, path) -> None:
     _P(path).write_text(to_gfa_string(dbg))
 
 
-def _p_edge_mean(dist: Dict[int, float]) -> float:
-    return sum(x * math.exp(lp) for x, lp in dist.items())
-
-
-def _p_edge_short_string(dist: Dict[int, float]) -> str:
-    return ",".join(f"p({x})={math.exp(dist[x]):.3f}" for x in sorted(dist))
-
-
 def to_gfa_post_string(dbg: MultiDbg, posterior, copy_nums_true=None) -> str:
     """GFA with posterior mean + red/blue over/under coloring
     (ref: output.rs:718-775)."""
 
     def label(e):
         dist = posterior.p_edge(e)
-        mean = _p_edge_mean(dist)
-        short = _p_edge_short_string(dist)
+        mean = dist.mean()
+        short = dist.to_short_string()
         if copy_nums_true is not None:
             return f"{mean:.2f}x,{copy_nums_true[e]}x({short})"
         return f"{mean:.2f}x,?x({short})"
@@ -283,7 +275,7 @@ def to_gfa_post_string(dbg: MultiDbg, posterior, copy_nums_true=None) -> str:
     def color(e):
         if copy_nums_true is None:
             return (0, 0, 0)
-        mean = _p_edge_mean(posterior.p_edge(e))
+        mean = posterior.p_edge(e).mean()
         true = float(copy_nums_true[e])
         mx, half = 200, 100.0
         if mean > true:
@@ -368,13 +360,11 @@ def to_inspect_string(dbg: MultiDbg, posterior, copy_nums_true=None) -> str:
     for e in range(dbg.n_edges_compact()):
         dist = posterior.p_edge(e)
         true_c = copy_nums_true[e] if copy_nums_true is not None else None
-        p_true = (
-            f"{math.exp(dist.get(true_c, NEG_INF)):.5f}" if true_c is not None else "?"
-        )
+        p_true = f"{dist.p_x(true_c):.5f}" if true_c is not None else "?"
         lines.append(
             f"{k}\tE\te{e}\t{true_c if true_c is not None else '?'}\t"
-            f"{_p_edge_mean(dist):.5f}\t{p_true}\t"
-            f"{math.exp(dist.get(0, NEG_INF)):.5f}\t{_p_edge_short_string(dist)}"
+            f"{dist.mean():.5f}\t{p_true}\t"
+            f"{dist.p_x(0):.5f}\t{dist.to_short_string()}"
         )
     return "\n".join(lines) + "\n"
 

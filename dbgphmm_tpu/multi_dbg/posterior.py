@@ -28,6 +28,7 @@ import numpy as np
 from ..ops.batch import candidate_log_likelihoods
 from ..ops.forward import node_freqs_and_mappings, pad_reads, to_device
 from ..phmm.params import PHMMParams
+from ..hist import DiscreteDistribution
 from ..prob import NEG_INF, ladd, normal_bin_logp
 from . import MultiDbg
 from .draft import min_squared_error_copy_nums_from_freqs
@@ -50,10 +51,14 @@ class Mappings:
     probs (ref: src/hmmv2/hint.rs Mapping/Mappings).
 
     ``nodes[r]`` is int32 [L_r, A] (-1 padding); ``logps[r]`` matches.
+    ``read_logps`` (optional) records each read's full log-likelihood from
+    the decode that produced the mapping — used to gate hint-seeded
+    regeneration across k (see ``generate_mappings(hint=...)``).
     """
 
     nodes: List[np.ndarray]
     logps: List[np.ndarray]
+    read_logps: Optional[np.ndarray] = None
 
     def n_reads(self) -> int:
         return len(self.nodes)
@@ -115,6 +120,17 @@ def _trim_mapping_width(mn: np.ndarray, ml: np.ndarray, align: int = 16):
     return mn[:, :, :width], ml[:, :, :width]
 
 
+def _pad_hint_nodes(hint: Mappings, L: int, cap: int) -> np.ndarray:
+    """Stack per-read hint node lists into one [B, L, A] int32 array."""
+    B = hint.n_reads()
+    A = max(1, min(cap, max((m.shape[1] for m in hint.nodes), default=1)))
+    out = np.full((B, L, A), -1, dtype=np.int32)
+    for r, m in enumerate(hint.nodes):
+        w = min(A, m.shape[1])
+        out[r, : m.shape[0], :w] = m[:, :w]
+    return out
+
+
 def generate_mappings(
     dbg: MultiDbg,
     params: PHMMParams,
@@ -123,6 +139,9 @@ def generate_mappings(
     dtype=None,
     max_ratio: Optional[float] = "default",
     mesh=None,
+    hint: Optional[Mappings] = None,
+    hint_gate: float = 100.0,
+    verbose: bool = False,
 ) -> Mappings:
     """Posterior state decode on the non-zero PHMM -> per-base active nodes
     by score ratio under a top-k cap (ref: posterior.rs:609-637
@@ -131,6 +150,14 @@ def generate_mappings(
     Uses the dense forward/backward for small graphs (exact) and the
     sparse-adaptive kernel beyond DENSE_MAPPING_MAX_NODES (the reference's
     run_sparse_adaptive path, freq.rs:60).
+
+    With ``hint`` (a mapping upconverted across purge/k+1 extension), the
+    decode is restricted to the hint's per-base active sets — the
+    reference's ``run_with_mapping`` branch (hint.rs:206-216) — which costs
+    O(B*L*A^2) independent of graph size.  Acceptance gate: any read whose
+    hint-constrained likelihood is non-finite or more than ``hint_gate``
+    nats below its previous-k likelihood (``hint.read_logps``) falls back
+    to the full from-scratch decode for that read.
 
     With ``mesh``, the read batch is sharded over ALL mesh devices (mapping
     generation has no candidate axis — the reference parallelizes it over
@@ -149,6 +176,10 @@ def generate_mappings(
     codes, lens = pad_reads(list(reads))
     n_reads = codes.shape[0]
     codes_d, lens_d = jnp.asarray(codes), jnp.asarray(lens)
+    hint_arr = None
+    if hint is not None:
+        hint_arr = _pad_hint_nodes(hint, codes.shape[1], 2 * n_active)
+    hint_d = jnp.asarray(hint_arr) if hint_arr is not None else None
     if mesh is not None:
         from ..ops.batch import _pad_reads_axis
         from ..parallel.sharding import (
@@ -159,8 +190,19 @@ def generate_mappings(
         codes_d = put_read_sharded(mesh, _pad_reads_axis(codes, n_shard, -1), 0)
         lens_d = put_read_sharded(mesh, _pad_reads_axis(lens, n_shard, 0), 0)
         dm = put_replicated(mesh, dm)
-    if dbg.n_edges_full() <= DENSE_MAPPING_MAX_NODES:
-        _logp, _freqs, map_nodes, map_logp = node_freqs_and_mappings(
+        if hint_arr is not None:
+            hint_d = put_read_sharded(
+                mesh, _pad_reads_axis(hint_arr, n_shard, -1), 0
+            )
+    if hint is not None:
+        from ..ops.adaptive import mappings_refine
+
+        logp, map_nodes, map_logp = mappings_refine(
+            dm, codes_d, lens_d, hint_d,
+            n_active=n_active, max_ratio=max_ratio,
+        )
+    elif dbg.n_edges_full() <= DENSE_MAPPING_MAX_NODES:
+        logp, _freqs, map_nodes, map_logp = node_freqs_and_mappings(
             dm, codes_d, lens_d, renorm=True,
             n_active=n_active, max_ratio=max_ratio,
         )
@@ -175,11 +217,12 @@ def generate_mappings(
             n_top, n_warmup = max(40, 256 // (D + 1)), int(codes.shape[1])
         else:
             n_top, n_warmup = max(ADAPTIVE_FRONTIER_TOP, -(-n_active // 2)), 16
-        _logp, map_nodes, map_logp = mappings_sparse_adaptive(
+        logp, map_nodes, map_logp = mappings_sparse_adaptive(
             dm, codes_d, lens_d,
             n_top=n_top, n_active=n_active, max_ratio=max_ratio,
             n_warmup=n_warmup,
         )
+    read_logps = np.asarray(logp)[:n_reads].astype(np.float64)
     mn = np.asarray(map_nodes)[:n_reads]
     ml = np.asarray(map_logp)[:n_reads]
     mn, ml = _trim_mapping_width(mn, ml)
@@ -187,7 +230,31 @@ def generate_mappings(
     for i, L in enumerate(lens):
         nodes.append(mn[i, :L].copy())
         logps.append(ml[i, :L].copy())
-    return Mappings(nodes, logps)
+
+    if hint is not None:
+        # acceptance gate (ref intent: posterior/test.rs:145-237 compares
+        # extended vs fresh mapping likelihoods)
+        bad = ~np.isfinite(read_logps)
+        if hint.read_logps is not None:
+            prev = np.asarray(hint.read_logps, dtype=np.float64)
+            if prev.shape == read_logps.shape:
+                with np.errstate(invalid="ignore"):
+                    bad |= read_logps < (prev - hint_gate)
+        if bad.any():
+            idx = np.flatnonzero(bad)
+            if verbose:
+                print(f"[mappings] hint gate: regenerating {len(idx)}/"
+                      f"{n_reads} reads from scratch")
+            fresh = generate_mappings(
+                dbg, params, [reads[int(i)] for i in idx],
+                n_active=n_active, dtype=dtype, max_ratio=max_ratio,
+            )
+            for j, i in enumerate(idx):
+                nodes[int(i)] = fresh.nodes[j]
+                logps[int(i)] = fresh.logps[j]
+                read_logps[int(i)] = fresh.read_logps[j]
+
+    return Mappings(nodes, logps, read_logps)
 
 
 # -- score --------------------------------------------------------------------
@@ -252,18 +319,17 @@ class Posterior:
     def max_copy_nums(self) -> List[int]:
         return self.max_sample().copy_nums
 
-    def p_edge(self, edge: int):
-        """Posterior distribution of copy number of a compact edge:
-        list of (x, log prob) normalized (ref: posterior.rs:146-161)."""
-        dist = {}
-        for s in self.samples:
-            x = s.copy_nums[edge]
-            lp = s.score.p() - self.p
-            dist[x] = ladd(dist.get(x, NEG_INF), lp)
-        return dist
+    def p_edge(self, edge: int) -> DiscreteDistribution:
+        """Posterior distribution of the copy number of a compact edge
+        (ref: posterior.rs:154-161 p_edge -> hist.rs:113-176
+        DiscreteDistribution)."""
+        return DiscreteDistribution.from_occurs(
+            (s.copy_nums[edge], s.score.p() - self.p) for s in self.samples
+        )
 
     def p_edge_x(self, edge: int, x: int) -> float:
-        return self.p_edge(edge).get(x, NEG_INF)
+        """Log P(X(e)=x | R)."""
+        return self.p_edge(edge).logp.get(x, NEG_INF)
 
 
 # -- scoring ------------------------------------------------------------------
@@ -488,7 +554,13 @@ def sample_posterior(
     while n_iter < max_iter:
         work.set_copy_nums(copy_nums)
         t0 = time.time()
-        rescue = to_rescue_neighbors(work, freqs, coverage, 5, 20, True, 4, True)
+        nc = neighbor_config
+        rescue = to_rescue_neighbors(
+            work, freqs, coverage,
+            nc.rescue_k_non_zero, nc.rescue_k_zero,
+            nc.rescue_weighted_by_copy_num, nc.rescue_k_total,
+            nc.rescue_sort_by_freq,
+        )
         log(f"iter {n_iter}: {len(rescue)} rescue neighbors ({time.time()-t0:.1f}s)")
         if rescue_only:
             sets = [rescue]
@@ -602,6 +674,7 @@ def infer_posterior_by_extension(
     dtype=None,
     verbose: bool = False,
     mesh=None,
+    use_hint_mappings: bool = True,
 ):
     log = (lambda *a: print("[infer]", *a)) if verbose else (lambda *a: None)
     dbg = dbg_init.copy()
@@ -627,13 +700,35 @@ def infer_posterior_by_extension(
             break
 
         t0 = time.time()
-        dbg, paths, _m = purge_and_extend_with_posterior(
-            dbg, posterior, k_max, p0, paths, None
+        dbg, paths, maps2 = purge_and_extend_with_posterior(
+            dbg, posterior, k_max, p0, paths,
+            mappings if use_hint_mappings else None,
         )
         log(f"extended to k={dbg.k} in {time.time()-t0:.1f}s")
         t0 = time.time()
-        mappings = generate_mappings(dbg, param_error, reads, dtype=dtype, mesh=mesh)
-        log(f"mappings regenerated in {time.time()-t0:.1f}s")
+        hint_m = None
+        if use_hint_mappings and maps2 is not None:
+            # upconverted active sets seed the next k's decode instead of a
+            # full from-scratch regeneration (the reference's designed-but-
+            # unwired hint path, multi_dbg.rs:1325-1334 / hint.rs:66-88)
+            hnodes = []
+            for mp in maps2:
+                w = max((len(pb) for pb in mp), default=0) or 1
+                arr = np.full((len(mp), w), -1, dtype=np.int32)
+                for j, pb in enumerate(mp):
+                    arr[j, : len(pb)] = pb
+                hnodes.append(arr)
+            hint_m = Mappings(
+                hnodes,
+                [np.zeros(a.shape) for a in hnodes],
+                mappings.read_logps,
+            )
+        mappings = generate_mappings(
+            dbg, param_error, reads, dtype=dtype, mesh=mesh, hint=hint_m,
+            verbose=verbose,
+        )
+        log(f"mappings {'refined' if hint_m is not None else 'regenerated'} "
+            f"in {time.time()-t0:.1f}s")
         freqs = mappings.to_node_freqs(dbg.n_edges_full())
         # reference hardcodes Some(2) haplotypes here (posterior.rs:798);
         # we only fix the count when a terminal node exists

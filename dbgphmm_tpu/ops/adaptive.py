@@ -254,33 +254,22 @@ def _b_step_sparse(dm: DeviceModel, st: BCarry, cur_nodes: jnp.ndarray,
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_top", "n_active", "max_ratio", "n_warmup")
-)
-def mappings_sparse_adaptive(
+def _decode_mappings_from_forward(
     dm: DeviceModel,
     codes: jnp.ndarray,
     lens: jnp.ndarray,
-    n_top: int = 40,
-    n_active: int = 40,
-    max_ratio: float = None,
-    n_warmup: int = 16,
+    f: AdaptiveTables,
+    n_active: int,
+    max_ratio,
 ):
-    """Sparse forward + backward-by-forward + per-position top-k decode.
-
-    Returns (logp [B], node_freq_nodes [L,B,A], node_freq_vals [L,B,A] linear,
-    map_nodes [B, L, n_active], map_logp [B, L, n_active]).
+    """Backward-by-forward + per-position top-k decode over stored forward
+    tables (ref: backward.rs:101-142 backward_by_forward, table.rs:500-517).
 
     The S table at merged index i pairs F[i] (stored forward tables) with
-    B[i] computed on the fly over F[i]'s active cells
-    (ref: backward.rs:101-142 backward_by_forward, table.rs:500-517).
+    B[i] computed on the fly over F[i]'s active cells.
     """
     B, L = codes.shape
     dtype = dm.init_logp.dtype
-    f = forward_sparse_adaptive(
-        dm, codes, lens, n_top=n_top, max_ratio=max_ratio, n_warmup=n_warmup
-    )
-    A = f.nodes.shape[2]
     logp = f.e
 
     xs_rev_idx = lens[:, None] - 1 - jnp.arange(L)[None, :]
@@ -374,3 +363,84 @@ def mappings_sparse_adaptive(
     map_nodes = map_nodes.at[b_ar, j_last].set(last_nodes, mode="drop")
 
     return logp, map_nodes, map_logp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_top", "n_active", "max_ratio", "n_warmup")
+)
+def mappings_sparse_adaptive(
+    dm: DeviceModel,
+    codes: jnp.ndarray,
+    lens: jnp.ndarray,
+    n_top: int = 40,
+    n_active: int = 40,
+    max_ratio: float = None,
+    n_warmup: int = 16,
+):
+    """Sparse-adaptive forward + backward-by-forward decode.
+
+    Returns (logp [B], map_nodes [B, L, n_active], map_logp [B, L, n_active]).
+    (ref: freq.rs:60 run_sparse_adaptive + hint.rs:124-142)
+    """
+    f = forward_sparse_adaptive(
+        dm, codes, lens, n_top=n_top, max_ratio=max_ratio, n_warmup=n_warmup
+    )
+    return _decode_mappings_from_forward(dm, codes, lens, f, n_active, max_ratio)
+
+
+def forward_mapped_tables(
+    dm: DeviceModel,
+    codes: jnp.ndarray,
+    lens: jnp.ndarray,
+    map_nodes: jnp.ndarray,  # [B, L, A] int32, -1 pad
+) -> AdaptiveTables:
+    """Mapping-constrained forward storing per-step active tables — the
+    table-keeping variant of ``forward_scores_mapped``
+    (ref: forward.rs:51-77 forward_with_mapping)."""
+    from .sparse import SState
+
+    B, L = codes.shape
+    A = map_nodes.shape[2]
+    dtype = dm.init_logp.dtype
+    z = jnp.zeros((B,), dtype=dtype)
+    st0 = SState(
+        nodes=jnp.full((B, A), -1, dtype=jnp.int32),
+        m=jnp.full((B, A), NEG, dtype=dtype),
+        i=jnp.full((B, A), NEG, dtype=dtype),
+        d=jnp.full((B, A), NEG, dtype=dtype),
+        mb=z, ib=jnp.full((B,), NEG, dtype=dtype),
+        e=jnp.full((B,), NEG, dtype=dtype), off=z, off_c=z,
+    )
+    pos = jnp.arange(L, dtype=lens.dtype)
+
+    def body(st, xs):
+        x, nodes_t, p = xs
+        valid = p < lens
+        st1 = _s_step(dm, st, nodes_t, x, valid, renorm=True)
+        return st1, (st1.nodes, st1.m, st1.i, st1.d, st1.off)
+
+    st, (ns, ms, is_, ds, offs) = jax.lax.scan(
+        body, st0, (codes.T, jnp.swapaxes(map_nodes, 0, 1), pos)
+    )
+    return AdaptiveTables(nodes=ns, m=ms, i=is_, d=ds, off=offs, e=st.e + st.off)
+
+
+@functools.partial(jax.jit, static_argnames=("n_active", "max_ratio"))
+def mappings_refine(
+    dm: DeviceModel,
+    codes: jnp.ndarray,
+    lens: jnp.ndarray,
+    hint_nodes: jnp.ndarray,  # [B, L, Ah] int32, -1 pad
+    n_active: int = 40,
+    max_ratio: float = None,
+):
+    """Hint-seeded mapping regeneration: forward/backward restricted to the
+    hint's per-base active sets, then score-ratio re-selection — the analog
+    of the reference's ``run_with_mapping`` branch of generate_mappings
+    (ref: hint.rs:206-216; posterior/test.rs:184-187 refine-after-extend).
+
+    Returns (logp [B], map_nodes [B, L, n_active], map_logp).  ``logp`` is
+    the mapping-constrained likelihood — callers can gate acceptance on it
+    (reads whose hint collapsed score -inf / far below the previous k)."""
+    f = forward_mapped_tables(dm, codes, lens, hint_nodes)
+    return _decode_mappings_from_forward(dm, codes, lens, f, n_active, max_ratio)

@@ -120,3 +120,98 @@ def test_dense_compute_regime_matches_dense_store(monkeypatch):
             se = set(me[j][me[j] >= 0].tolist())
             sc = set(mc[j][mc[j] >= 0].tolist())
             assert se == sc, (j, se, sc)
+
+
+def test_mappings_refine_with_full_hint_matches_dense():
+    """Refine with an all-nodes hint reproduces the dense decode exactly
+    (forward/backward restricted to everything == dense)."""
+    from dbgphmm_tpu.ops.adaptive import mappings_refine
+
+    m = linear_random_phmm(60, 3, PHMMParams.default())
+    dm = to_device(m, dtype=jnp.float64)
+    seq = generate(60, 3)
+    reads = [seq[5:50], seq[0:40]]
+    codes, lens = pad_reads(reads)
+    B, L = codes.shape
+    n = m.n_nodes
+    hint = np.tile(np.arange(n, dtype=np.int32), (B, L, 1))
+    lp_d, _f, mn_d, ml_d = node_freqs_and_mappings(
+        dm, jnp.asarray(codes), jnp.asarray(lens), renorm=True, n_active=5
+    )
+    lp_r, mn_r, ml_r = mappings_refine(
+        dm, jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(hint),
+        n_active=5,
+    )
+    np.testing.assert_allclose(np.asarray(lp_r), np.asarray(lp_d), atol=1e-9)
+    for b in range(B):
+        Lb = int(lens[b])
+        assert np.array_equal(
+            np.asarray(mn_r)[b, :Lb, 0], np.asarray(mn_d)[b, :Lb, 0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(ml_r)[b, :Lb], np.asarray(ml_d)[b, :Lb], atol=1e-6
+        )
+
+
+def test_mappings_refine_with_own_mapping_hint():
+    """Refining with the fresh mapping as hint keeps the same top nodes and
+    a likelihood close to the unconstrained one."""
+    from dbgphmm_tpu.ops.adaptive import mappings_refine
+
+    m = linear_random_phmm(150, 4, PHMMParams.default())
+    dm = to_device(m, dtype=jnp.float64)
+    seq = generate(150, 4)
+    reads = [seq[10:120]]
+    codes, lens = pad_reads(reads)
+    lp_d, _f, mn_d, _ml = node_freqs_and_mappings(
+        dm, jnp.asarray(codes), jnp.asarray(lens), renorm=True, n_active=12
+    )
+    lp_r, mn_r, _mlr = mappings_refine(
+        dm, jnp.asarray(codes), jnp.asarray(lens), mn_d, n_active=12
+    )
+    assert abs(float(lp_r[0]) - float(lp_d[0])) < 0.1
+    L = int(lens[0])
+    top1_agree = np.mean(np.asarray(mn_r)[0, :L, 0] == np.asarray(mn_d)[0, :L, 0])
+    assert top1_agree > 0.98, top1_agree
+
+
+def test_generate_mappings_hint_gate_falls_back():
+    """A garbage hint (wrong nodes) trips the acceptance gate and regenerates
+    the read from scratch, matching the fresh mapping."""
+    from dbgphmm_tpu.multi_dbg.posterior import Mappings, generate_mappings
+
+    seq = b"TTAGGCTTCGATCGAATGCCTTAGGCTTACGTAGGAT"
+    dbg = MultiDbg.from_styled_seqs(8, [StyledSequence.linear(seq)])
+    params = PHMMParams.uniform(0.001)
+    reads = [seq[2:30], seq[5:35]]
+    fresh = generate_mappings(dbg, params, reads, n_active=8)
+    assert fresh.read_logps is not None and np.all(np.isfinite(fresh.read_logps))
+    # garbage hint: node 0 everywhere
+    hnodes = [np.zeros((len(r), 2), dtype=np.int32) for r in reads]
+    hint = Mappings(
+        hnodes, [np.zeros(a.shape) for a in hnodes], fresh.read_logps
+    )
+    refined = generate_mappings(dbg, params, reads, n_active=8, hint=hint)
+    assert np.all(np.isfinite(refined.read_logps))
+    np.testing.assert_allclose(refined.read_logps, fresh.read_logps, atol=1e-6)
+    for a, b in zip(refined.nodes, fresh.nodes):
+        assert np.array_equal(a, b)
+
+
+def test_generate_mappings_good_hint_accepted():
+    """A faithful hint (the fresh mapping upconverted trivially, i.e. itself)
+    is accepted by the gate and produces an equivalent mapping."""
+    from dbgphmm_tpu.multi_dbg.posterior import generate_mappings
+
+    seq = b"TTAGGCTTCGATCGAATGCCTTAGGCTTACGTAGGAT"
+    dbg = MultiDbg.from_styled_seqs(8, [StyledSequence.linear(seq)])
+    params = PHMMParams.uniform(0.001)
+    reads = [seq[2:30], seq[5:35]]
+    fresh = generate_mappings(dbg, params, reads, n_active=8)
+    refined = generate_mappings(dbg, params, reads, n_active=8, hint=fresh)
+    np.testing.assert_allclose(
+        refined.read_logps, fresh.read_logps, atol=0.1
+    )
+    for a, b in zip(refined.nodes, fresh.nodes):
+        # same top-1 node at every position
+        assert np.array_equal(a[:, 0], b[:, 0])

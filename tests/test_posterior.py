@@ -57,10 +57,12 @@ def test_score_and_posterior_containers():
     assert len(post.samples) == 1
     post.add(PosteriorSample([2, 2], Score(-9.0, -2.0, 42, 0.5)))
     assert post.max_copy_nums() == [2, 2]
-    # p_edge distribution normalizes
+    # p_edge returns a normalized DiscreteDistribution (ref: hist.rs:113-176)
     d = post.p_edge(0)
-    total = np.exp(list(d.values())).sum()
+    total = np.exp(list(d.logp.values())).sum()
     assert total == pytest.approx(1.0)
+    assert d.argmax() in (1, 2)
+    assert d.to_short_string().startswith("p(")
 
 
 def test_short_neighbors_on_diploid_bubble():
@@ -188,3 +190,31 @@ def test_generate_mappings_ratio_keeps_ambiguous_alternatives():
     # mass and any position should have >=1 valid slot
     for j in range(maps.nodes[0].shape[0]):
         assert (maps.nodes[0][j] >= 0).sum() >= 1
+
+
+def test_infer_hint_mappings_match_fresh():
+    """The hint-seeded mapping path (upconvert + constrained refine) yields
+    the same final assembly as full regeneration each k."""
+    g = small_diploid()
+    reads = perfect_reads(g, coverage=12, read_len=16, seed=1)
+    params = PHMMParams.uniform(0.001)
+    results = []
+    for use_hint in (False, True):
+        dbg = MultiDbg.from_styled_seqs(8, [s for s in g])
+        dbg_final, post, _paths, _maps = infer_posterior_by_extension(
+            k_max=16,
+            dbg_init=dbg,
+            param_infer=params,
+            param_error=params,
+            reads=reads,
+            genome_size_expected=g.genome_size(),
+            genome_size_sigma=5,
+            max_iter=10,
+            p0=0.8,
+            n_haplotypes=2,
+            use_hint_mappings=use_hint,
+        )
+        haps = sorted(s.seq for s, _c in dbg_final.get_linear_haplotype_seqs())
+        results.append((dbg_final.k, haps, post.max_copy_nums()))
+    assert results[0] == results[1]
+    assert results[0][1] == sorted(s.seq for s in g)
