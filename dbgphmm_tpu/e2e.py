@@ -15,7 +15,7 @@ from pathlib import Path
 from typing import List, Optional
 
 from .phmm.params import PHMMParams
-from .phmm.sample import SampleProfile, sample_positioned_reads
+from .phmm.sample import SampleProfile, sample_positioned_reads_phmm
 from .seq.collection import PositionedSequence, ReadCollection, StyledSequence
 from .seq.genome import Genome
 
@@ -129,7 +129,11 @@ def generate_dataset(
         )
         has_revcomp = True
 
-    pos_reads = sample_positioned_reads(seqs, phmm_params, profile, has_revcomp)
+    # reads are sampled by walking the genome-graph PHMM itself (the
+    # reference's generative path, e2e.rs:163-240 via genome_graph.rs:399)
+    pos_reads = sample_positioned_reads_phmm(
+        seqs, phmm_params, profile, has_revcomp
+    )
     pos_reads = [r.justify_strand() for r in pos_reads]
     reads = ReadCollection.from_positioned(pos_reads)
     return Dataset(genome=genome, reads=reads, params=phmm_params)

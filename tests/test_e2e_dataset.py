@@ -82,7 +82,9 @@ def test_error_rate_matches_params():
             total += 1
             if r[i : i + 20] not in kmers:
                 bad += 1
-    # per-base error ~ 3p = 6%; P(20-mer clean) ~ 0.94^20 ~ 0.29
-    # -> ~0.71 of 20-mers carry an error
+    # reference emission semantics (picker.rs:32-43): mismatch prob =
+    # 3p/(1-p+3p) ~ 5.8%, plus p_MI+p_MD = 2p ~ 4% indel starts per state
+    # -> per-base error ~ 9.4%; P(20-mer clean) ~ 0.906^20 ~ 0.14
+    # -> ~0.86 of 20-mers carry an error
     frac = bad / total
-    assert 0.55 < frac < 0.85, frac
+    assert 0.75 < frac < 0.95, frac
