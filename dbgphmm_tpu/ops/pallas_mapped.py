@@ -543,7 +543,8 @@ def _make_kernel_log(TL: int, D: int, n_max_gaps: int, L: int):
 
 
 def _make_kernel_log_packed(TL: int, D: int, n_max_gaps: int, L: int,
-                            P: int, CL: int, A: int, NC: int, B: int):
+                            P: int, CL: int, A: int, NC: int, B: int,
+                            renorm_every: int = 1):
     """Lane-packed, candidate-blocked log-space full-scan kernel.
 
     Each grid step (g, l) scores CG = P*CL candidates against one TL-chunk
@@ -612,34 +613,44 @@ def _make_kernel_log_packed(TL: int, D: int, n_max_gaps: int, L: int,
                 axis=1,
             )
 
-        def pack_ce(idx):
-            """[B, A] compact-edge ids -> [B, P*A] (segment p offset p*NC)."""
-            if P == 1:
-                return idx
-            return jnp.concatenate([idx + p * NC for p in range(P)], axis=1)
+        # Mosaic's tpu.dynamic_gather operates within a SINGLE 128-lane vreg:
+        # both the table and the index vector of one gather must be <= 128
+        # lanes.  Every gather below respects that — per-candidate eff rows
+        # are sliced to [1, NC<=128] chunks, DP tables are [B, PA<=128].
+        VREG = 128
 
         def gather_row(row, idx):
-            """row [1, W0] table values, idx [B, Wi] in [0, W0) -> [B, Wi]."""
-            W0 = row.shape[1]
+            """row [W0] 1D table values (W0 a multiple of VREG or < VREG),
+            idx [B, Wi<=VREG] in [0, W0) -> [B, Wi].  Chunks the table into
+            VREG-lane pieces (lane-rotated to offset 0 — offset slices have
+            no broadcastable layout) and selects the in-range piece."""
+            W0 = row.shape[0]
             Wi = idx.shape[1]
-            tab = jnp.broadcast_to(row, (B, W0))
-            if Wi < W0:
+            w_pad = min(VREG, max(W0, Wi))
+            if Wi < w_pad:
                 idx = jnp.concatenate(
-                    [idx, jnp.zeros((B, W0 - Wi), dtype=idx.dtype)], axis=1
+                    [idx, jnp.zeros((B, w_pad - Wi), dtype=idx.dtype)], axis=1
                 )
-            elif Wi > W0:
-                reps = -(-Wi // W0)
-                tab = jnp.concatenate([tab] * reps, axis=1)[:, :Wi]
-            out = jnp.take_along_axis(tab, idx, axis=1)
+            out = jnp.zeros((B, w_pad), dtype=row.dtype)
+            for base in range(0, W0, VREG):
+                w = min(VREG, W0 - base)
+                chunk = jnp.roll(row, -base)[:w] if base else row[:w]
+                if w < w_pad:
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.zeros((w_pad - w,), dtype=row.dtype)]
+                    )
+                tab = jnp.broadcast_to(chunk[None, :], (B, w_pad))
+                local = idx - base
+                in_rng = (local >= 0) & (local < w)
+                safe = jnp.where(in_rng, local, 0)
+                g = jnp.take_along_axis(tab, safe, axis=1)
+                out = jnp.where(in_rng, g, out)
             return out[:, :Wi]
 
         def gather_log(tab, idx):
-            """tab [B, PA] log values, idx [B, Wi] slots in [0, PA) or -1."""
-            Wi = idx.shape[1]
+            """tab [B, PA<=VREG] log values, idx [B, PA] slots in [0, PA)
+            or -1 -> [B, PA] (single-vreg gather)."""
             safe = jnp.where(idx >= 0, idx, 0)
-            if Wi > PA:
-                reps = -(-Wi // PA)
-                tab = jnp.concatenate([tab] * reps, axis=1)[:, :Wi]
             out = jnp.take_along_axis(tab, safe, axis=1)
             return jnp.where(idx >= 0, out, NEGF)
 
@@ -675,27 +686,45 @@ def _make_kernel_log_packed(TL: int, D: int, n_max_gaps: int, L: int,
             )
             l_emit = jnp.where(emis_pk == x[:, None], l_match, l_mismatch)
             l_emit = jnp.where(emis_pk < 4, l_emit, NEGF)
-            numce_pk = pack_ce(numce_ref[t])
-            dence_pk = jnp.concatenate(
-                [pack_ce(dence_ref[t, dd]) for dd in range(D)], axis=1
-            )  # [B, D*PA]
+            # combine numce + dence degree columns into <=VREG-lane concats
+            # (one eff gather per group per candidate; col 0 overall is num,
+            # the rest are den contributions)
+            ce_cols = [numce_ref[t]] + [dence_ref[t, dd] for dd in range(D)]
+            cols_per_grp = max(1, VREG // A)
+            ce_groups = []
+            for c0 in range(0, D + 1, cols_per_grp):
+                cols = ce_cols[c0 : c0 + cols_per_grp]
+                if not cols:
+                    continue
+                ce_groups.append(
+                    jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+                )
             selfp_pk = pack_slots(selfp_ref[t])
-            prevp_pk = jnp.concatenate(
-                [pack_slots(prevp_ref[t, dd]) for dd in range(D)], axis=1
-            )
-            curp_pk = jnp.concatenate(
-                [pack_slots(curp_ref[t, dd]) for dd in range(D)], axis=1
-            )
+            prevp_pk_d = [pack_slots(prevp_ref[t, dd]) for dd in range(D)]
+            curp_pk_d = [pack_slots(curp_ref[t, dd]) for dd in range(D)]
             v1 = valid.astype(jnp.int32)[:, None] > 0
 
             def step_cl(cl, _):
-                eff_row = eff_ref[0, pl.ds(cl, 1)]  # [1, PNC]
-                linv_row = linv_ref[0, pl.ds(cl, 1)]  # [1, PA] log(inv_total)
-                num = gather_row(eff_row, numce_pk)  # [B, PA]
-                den_flat = gather_row(eff_row, dence_pk)  # [B, D*PA]
-                den = jnp.zeros_like(num)
-                for dd in range(D):
-                    den = den + den_flat[:, dd * PA:(dd + 1) * PA]
+                linv_row = linv_ref[0, cl]  # [PA] log(inv_total), 1D
+                # per-candidate eff lookups (rows indexed by leading dim so
+                # lane offset stays 0 — offset slices break broadcasts)
+                num_parts, den_parts = [], []
+                for p in range(P):
+                    eff_p = eff_ref[0, cl * P + p]  # [NC] 1D
+                    cols = []
+                    for grp in ce_groups:
+                        g = gather_row(eff_p, grp)
+                        for ci in range(g.shape[1] // A):
+                            cols.append(g[:, ci * A : (ci + 1) * A])
+                    num_parts.append(cols[0])  # [B, A]
+                    den_p = cols[1]
+                    for cc in cols[2:]:
+                        den_p = den_p + cc
+                    den_parts.append(den_p)
+                num = (jnp.concatenate(num_parts, axis=1)
+                       if P > 1 else num_parts[0])  # [B, PA]
+                den = (jnp.concatenate(den_parts, axis=1)
+                       if P > 1 else den_parts[0])
                 ok_t = (num > 0) & (den > 0)
                 l_num = jnp.log(jnp.maximum(num, 1e-38))
                 l_tval = jnp.where(
@@ -703,7 +732,7 @@ def _make_kernel_log_packed(TL: int, D: int, n_max_gaps: int, L: int,
                 )
                 l_init = jnp.where(
                     num > 0,
-                    l_num + jnp.broadcast_to(linv_row, (B, PA)),
+                    l_num + jnp.broadcast_to(linv_row[None, :], (B, PA)),
                     NEGF,
                 )
 
@@ -715,11 +744,15 @@ def _make_kernel_log_packed(TL: int, D: int, n_max_gaps: int, L: int,
                 off = beg_ref[cl, 2]
                 off_c = beg_ref[cl, 3]
 
+                def gather_deg(tab, idx_list):
+                    """ladd-combine per-degree single-vreg gathers."""
+                    out = gather_log(tab, idx_list[0])
+                    for dd in range(1, len(idx_list)):
+                        out = ladd(out, gather_log(tab, idx_list[dd]))
+                    return out
+
                 pre_m = ladd3(lMM + m_prev, lIM + i_prev, lDM + d_prev)
-                parts = gather_log(pre_m, prevp_pk)  # [B, D*PA]
-                inner = parts[:, :PA]
-                for dd in range(1, D):
-                    inner = ladd(inner, parts[:, dd * PA:(dd + 1) * PA])
+                inner = gather_deg(pre_m, prevp_pk_d)
                 from_begin = l_init + ladd(lMM + mb, lIM + ib)
                 m_new = l_emit + ladd(l_tval + inner, from_begin)
 
@@ -730,33 +763,30 @@ def _make_kernel_log_packed(TL: int, D: int, n_max_gaps: int, L: int,
                 ib_new = l_random + ladd(lMI + mb, lII + ib)
 
                 pre_d = ladd(lMD + m_new, lID + i_new)
-                parts = gather_log(pre_d, curp_pk)
-                acc = parts[:, :PA]
-                for dd in range(1, D):
-                    acc = ladd(acc, parts[:, dd * PA:(dd + 1) * PA])
+                acc = gather_deg(pre_d, curp_pk_d)
                 fd0 = ladd(l_tval + acc,
                            l_init + ladd(lMD + mb_new, lID + ib_new))
                 d_new = fd0
                 fdt = fd0
                 for _ in range(n_max_gaps):
-                    parts = gather_log(fdt, curp_pk)
-                    accd = parts[:, :PA]
-                    for dd in range(1, D):
-                        accd = ladd(accd, parts[:, dd * PA:(dd + 1) * PA])
+                    accd = gather_deg(fdt, curp_pk_d)
                     fdt = l_tval + lDD + accd
                     d_new = ladd(d_new, fdt)
 
-                shift = seg_max(m_new)  # [B, PA] per-candidate scale
-                # (valid reshaped via int32 v1: Mosaic can't reshape i1)
-                shift = jnp.where((shift > NEGF / 2) & v1, shift, 0.0)
-                m_new = jnp.maximum(m_new - shift, NEGF)
-                i_new = jnp.maximum(i_new - shift, NEGF)
-                d_new = jnp.maximum(d_new - shift, NEGF)
-                mb_new = jnp.maximum(mb_new - shift, NEGF)
-                ib_new = jnp.maximum(ib_new - shift, NEGF)
-                y = shift - off_c
-                tt = off + y
-                off_c2 = (tt - off) - y
+                if t % renorm_every == renorm_every - 1:
+                    shift = seg_max(m_new)  # [B, PA] per-candidate scale
+                    # (valid via int32 v1: Mosaic can't reshape i1)
+                    shift = jnp.where((shift > NEGF / 2) & v1, shift, 0.0)
+                    m_new = jnp.maximum(m_new - shift, NEGF)
+                    i_new = jnp.maximum(i_new - shift, NEGF)
+                    d_new = jnp.maximum(d_new - shift, NEGF)
+                    mb_new = jnp.maximum(mb_new - shift, NEGF)
+                    ib_new = jnp.maximum(ib_new - shift, NEGF)
+                    y = shift - off_c
+                    tt = off + y
+                    off_c2 = (tt - off) - y
+                else:
+                    tt, off_c2 = off, off_c
 
                 m_ref[cl] = jnp.where(v1, m_new, m_prev)
                 i_ref[cl] = jnp.where(v1, i_new, i_prev)
@@ -803,10 +833,11 @@ def _make_kernel_log_packed(TL: int, D: int, n_max_gaps: int, L: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("TL", "interpret", "n_max_gaps", "P", "CL"),
+    static_argnames=("TL", "interpret", "n_max_gaps", "P", "CL",
+                     "renorm_every"),
 )
 def pallas_mapped_scores_packed(
-    eff: jnp.ndarray,  # [G, CL, P*NC] f32 (packed per candidate group)
+    eff: jnp.ndarray,  # [G, CL*P, NC] f32 (row per candidate)
     linv: jnp.ndarray,  # [G, CL, P*A] f32 log(inv_total) lane-replicated
     lens: jnp.ndarray,  # [B] int32
     codes: jnp.ndarray,  # [L, B] int32
@@ -822,18 +853,25 @@ def pallas_mapped_scores_packed(
     P: int = 2,
     CL: int = 8,
     interpret: bool = False,
+    renorm_every: int = 1,
 ):
     """Lane-packed candidate-blocked log-space scorer.  Returns [G*CL*P, B]
-    per-read log likelihoods (candidate c = g*P*CL + cl*P + p)."""
+    per-read log likelihoods (candidate c = g*P*CL + cl*P + p).
+
+    ``renorm_every``: renormalize the tables every R steps instead of each
+    (the tables drift by only ~|log p_MM + log p_emit| per step, so small R
+    costs no f32 range; saves the per-step segment-max + subtract work)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     G = eff.shape[0]
     L, D, B, A = prevp.shape
-    NC = eff.shape[2] // P
+    NC = eff.shape[2]
     PA = P * A
     assert L % TL == 0
-    kernel = _make_kernel_log_packed(TL, D, n_max_gaps, L, P, CL, A, NC, B)
+    kernel = _make_kernel_log_packed(
+        TL, D, n_max_gaps, L, P, CL, A, NC, B, renorm_every=renorm_every
+    )
 
     grid = (G, L // TL)
     bs = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -842,7 +880,7 @@ def pallas_mapped_scores_packed(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 13), lambda g, l: (0, 0), memory_space=pltpu.SMEM),
-            bs((1, CL, P * NC), lambda g, l: (g, 0, 0)),
+            bs((1, CL * P, NC), lambda g, l: (g, 0, 0)),
             bs((1, CL, PA), lambda g, l: (g, 0, 0)),
             bs((1, B), lambda g, l: (0, 0)),
             bs((TL, B), lambda g, l: (l, 0)),
@@ -874,7 +912,7 @@ def pack_eff_tables(streams: MappedStreams, copy_num_candidates, P: int,
                     CL: int, A: int):
     """Pack per-candidate eff tables for the packed kernel.
 
-    Returns (eff [G, CL, P*NC] f32, linv [G, CL, P*A] f32 log(1/total),
+    Returns (eff [G, CL*P, NC] f32, linv [G, CL, P*A] f32 log(1/total),
     n_pad) where candidates are padded to a multiple of P*CL by repeating
     the first candidate."""
     NC = streams.nc_pad
@@ -891,7 +929,7 @@ def pack_eff_tables(streams: MappedStreams, copy_num_candidates, P: int,
         total > 0, -np.log(np.maximum(total, 1e-30)), -1e30
     ).astype(np.float32)
     G = Cp // CG
-    eff = eff_flat.reshape(G, CL, P * NC)
+    eff = eff_flat.reshape(G, CL * P, NC)
     linv = np.repeat(
         linv_c.reshape(G, CL, P), A, axis=2
     ).astype(np.float32)  # [G, CL, P*A]
@@ -1022,6 +1060,42 @@ def pallas_mapped_scores_sharded(
               dence, lt_lin)
 
 
+def pallas_mapped_scores_packed_sharded(
+    mesh, eff, linv, lens, codes, emis, numce, selfp, prevp, curp,
+    dence, lt_lin, n_max_gaps: int, TL: int, P: int, CL: int,
+    interpret: bool,
+):
+    """shard_map wrapper for the packed kernel: candidate GROUPS sharded
+    along "cand", reads along "reads" (same layout contract as
+    pallas_mapped_scores_sharded)."""
+    import functools as _ft
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pt
+
+    fn = _ft.partial(
+        pallas_mapped_scores_packed, n_max_gaps=n_max_gaps, TL=TL,
+        P=P, CL=CL, interpret=interpret,
+    )
+    in_specs = (
+        Pt("cand", None, None),            # eff [G, CL*P, NC]
+        Pt("cand", None, None),            # linv [G, CL, P*A]
+        Pt("reads"),                       # lens
+        Pt(None, "reads"),                 # codes
+        Pt(None, "reads", None),           # emis
+        Pt(None, "reads", None),           # numce
+        Pt(None, "reads", None),           # selfp
+        Pt(None, None, "reads", None),     # prevp
+        Pt(None, None, "reads", None),     # curp
+        Pt(None, None, "reads", None),     # dence
+        Pt(),                              # lt_lin
+    )
+    sm = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                   out_specs=Pt("cand", "reads"), check_vma=False)
+    return sm(eff, linv, lens, codes, emis, numce, selfp, prevp, curp,
+              dence, lt_lin)
+
+
 class PallasMappedScorer:
     """Production candidate scorer on the Pallas full-scan kernel.
 
@@ -1039,9 +1113,10 @@ class PallasMappedScorer:
 
     def __init__(self, template, positions, codes: np.ndarray,
                  lens: np.ndarray, params, TL: int = 8, space: str = "log",
-                 mesh=None):
+                 mesh=None, cl: int = 8):
         self.TL = TL
         self.space = space
+        self.cl = cl
         self.mesh = mesh
         B, L = codes.shape
         if L % TL != 0:
@@ -1106,33 +1181,72 @@ class PallasMappedScorer:
             n_cand_shard = self.mesh.shape["cand"]
             pad = -(-pad // n_cand_shard) * n_cand_shard
         cands = list(candidates) + [candidates[0]] * (pad - C)
-        eff, inv_total = eff_tables(self.streams, cands)
         args = self._device_args()
         # trace with x64 disabled: the CLI enables jax_enable_x64 globally,
         # but Mosaic rejects 64-bit types; every input here is already 32-bit
         with jax.enable_x64(False):
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+            if self.space == "packed":
+                A = self.streams.emis.shape[2]
+                P_ = max(1, 128 // A)
+                CL = self.cl
+                eff, linv, _cp = pack_eff_tables(self.streams, cands, P_, CL, A)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as Pt
 
-                cand_sh = NamedSharding(self.mesh, P("cand"))
-                out = np.asarray(
-                    pallas_mapped_scores_sharded(
-                        self.mesh,
-                        jax.device_put(jnp.asarray(eff), cand_sh),
-                        jax.device_put(jnp.asarray(inv_total), cand_sh),
-                        *args, self.ltv,
-                        n_max_gaps=self.n_max_gaps, TL=self.TL,
-                        interpret=self.interpret, space=self.space,
+                    n_cs = self.mesh.shape["cand"]
+                    # pad groups to the cand-shard count
+                    G = eff.shape[0]
+                    Gp = -(-G // n_cs) * n_cs
+                    if Gp > G:
+                        eff = np.concatenate(
+                            [eff, np.repeat(eff[:1], Gp - G, axis=0)], axis=0
+                        )
+                        linv = np.concatenate(
+                            [linv, np.repeat(linv[:1], Gp - G, axis=0)], axis=0
+                        )
+                    cand_sh = NamedSharding(self.mesh, Pt("cand"))
+                    out = np.asarray(
+                        pallas_mapped_scores_packed_sharded(
+                            self.mesh,
+                            jax.device_put(jnp.asarray(eff), cand_sh),
+                            jax.device_put(jnp.asarray(linv), cand_sh),
+                            *args, self.ltv,
+                            n_max_gaps=self.n_max_gaps, TL=self.TL,
+                            P=P_, CL=CL, interpret=self.interpret,
+                        )
                     )
-                )
+                else:
+                    out = np.asarray(
+                        pallas_mapped_scores_packed(
+                            jnp.asarray(eff), jnp.asarray(linv), *args,
+                            self.ltv, n_max_gaps=self.n_max_gaps, TL=self.TL,
+                            P=P_, CL=CL, interpret=self.interpret,
+                        )
+                    )
             else:
-                out = np.asarray(
-                    pallas_mapped_scores(
-                        jnp.asarray(eff), jnp.asarray(inv_total), *args, self.ltv,
-                        n_max_gaps=self.n_max_gaps, TL=self.TL,
-                        interpret=self.interpret, space=self.space,
+                eff, inv_total = eff_tables(self.streams, cands)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    cand_sh = NamedSharding(self.mesh, P("cand"))
+                    out = np.asarray(
+                        pallas_mapped_scores_sharded(
+                            self.mesh,
+                            jax.device_put(jnp.asarray(eff), cand_sh),
+                            jax.device_put(jnp.asarray(inv_total), cand_sh),
+                            *args, self.ltv,
+                            n_max_gaps=self.n_max_gaps, TL=self.TL,
+                            interpret=self.interpret, space=self.space,
+                        )
                     )
-                )
+                else:
+                    out = np.asarray(
+                        pallas_mapped_scores(
+                            jnp.asarray(eff), jnp.asarray(inv_total), *args,
+                            self.ltv, n_max_gaps=self.n_max_gaps, TL=self.TL,
+                            interpret=self.interpret, space=self.space,
+                        )
+                    )
         per_read = out[:C, : self.n_reads].astype(np.float64)
         ok = np.isfinite(per_read).all(axis=1)
         return per_read.sum(axis=1), ok

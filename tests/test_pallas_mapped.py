@@ -183,3 +183,67 @@ def test_pallas_wide_mapping_width(setup):
     models = [tpl.model_for(cn) for cn in candidates]
     ref = candidate_log_likelihoods(models, codes, lens, positions=pos_w)
     np.testing.assert_allclose(got, ref, atol=5e-3, rtol=1e-5)
+
+
+def test_packed_kernel_matches_log_kernel(setup):
+    """The lane-packed candidate-blocked kernel reproduces the log-space
+    kernel for every (P, CL) configuration, including blocked (-inf under
+    both) candidates."""
+    from dbgphmm_tpu.ops.pallas_mapped import (
+        pack_eff_tables,
+        pallas_mapped_scores_packed,
+    )
+
+    dbg, params, tpl, pos, codes, lens, candidates = setup
+    cands = candidates + [[0] * dbg.n_edges_compact()]
+    streams = build_streams(tpl, pos, codes, lens, dbg)
+    eff0, invt0 = eff_tables(streams, cands)
+    dm32 = to_device(tpl.model_for(cands[0]), dtype=jnp.float32)
+    ltv = lin_params_vector(dm32)
+    args = (
+        jnp.asarray(streams.lens), jnp.asarray(streams.codes),
+        jnp.asarray(streams.emis), jnp.asarray(streams.numce),
+        jnp.asarray(streams.selfp), jnp.asarray(streams.prevp),
+        jnp.asarray(streams.curp), jnp.asarray(streams.dence),
+    )
+    ref = np.asarray(
+        pallas_mapped_scores(
+            jnp.asarray(eff0), jnp.asarray(invt0), *args, ltv,
+            n_max_gaps=params.n_max_gaps, TL=8, interpret=True, space="log",
+        )
+    )
+    A = streams.emis.shape[2]
+    C, B = len(cands), codes.shape[0]
+    for P, CL, RN in [(1, 1, 1), (2, 2, 1), (2, 4, 1), (2, 8, 1), (2, 4, 2)]:
+        eff, linv, _cp = pack_eff_tables(streams, cands, P, CL, A)
+        out = np.asarray(
+            pallas_mapped_scores_packed(
+                jnp.asarray(eff), jnp.asarray(linv), *args, ltv,
+                n_max_gaps=params.n_max_gaps, TL=8, P=P, CL=CL,
+                interpret=True, renorm_every=RN,
+            )
+        )
+        a, b = out[:C, :B], ref[:C, :B]
+        both_inf = np.isneginf(a) & np.isneginf(b)
+        assert not (np.isneginf(a) ^ np.isneginf(b)).any(), (P, CL)
+        diff = np.where(both_inf, 0.0, np.abs(a - b))
+        assert diff.max() < 1e-3, (P, CL, RN, diff.max())
+
+
+def test_packed_scorer_matches_log_scorer(setup):
+    """PallasMappedScorer(space='packed') == space='log' at scorer level."""
+    from dbgphmm_tpu.ops.pallas_mapped import PallasMappedScorer
+
+    dbg, params, tpl, pos, codes, lens, candidates = setup
+    outs = {}
+    for space in ("log", "packed"):
+        scorer = PallasMappedScorer(
+            tpl, pos, codes, lens, tpl.params, space=space
+        )
+        scorer.interpret = True
+        sums, ok = scorer.scores_detailed(candidates)
+        outs[space] = (sums, ok)
+    np.testing.assert_allclose(
+        outs["packed"][0], outs["log"][0], atol=1e-2, rtol=1e-6
+    )
+    assert (outs["packed"][1] == outs["log"][1]).all()
