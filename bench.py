@@ -96,20 +96,42 @@ def main():
         )
         streams = build_streams(tpl, pos, codes, lens, None)
         cands = [np.ones(NCreal, dtype=np.int64).tolist() for _ in range(C)]
-        eff, inv_total = eff_tables(streams, cands)
         ltv = lin_params_vector(dm)
-        args = (jnp.asarray(eff), jnp.asarray(inv_total),
-                jnp.asarray(streams.lens), jnp.asarray(streams.codes),
-                jnp.asarray(streams.emis), jnp.asarray(streams.numce),
-                jnp.asarray(streams.selfp), jnp.asarray(streams.prevp),
-                jnp.asarray(streams.curp), jnp.asarray(streams.dence), ltv)
-        np.asarray(pallas_mapped_scores(*args, n_max_gaps=4, TL=8, space=space))
-        t0 = time.perf_counter()
-        out = np.asarray(
-            pallas_mapped_scores(*args, n_max_gaps=4, TL=8, space=space)
+        stream_args = (
+            jnp.asarray(streams.lens), jnp.asarray(streams.codes),
+            jnp.asarray(streams.emis), jnp.asarray(streams.numce),
+            jnp.asarray(streams.selfp), jnp.asarray(streams.prevp),
+            jnp.asarray(streams.curp), jnp.asarray(streams.dence),
         )
+        if space == "packed":
+            from dbgphmm_tpu.ops.pallas_mapped import (
+                PACKED_CL, PACKED_RENORM_EVERY, pack_eff_tables,
+                pallas_mapped_scores_packed,
+            )
+
+            A_ = streams.emis.shape[2]
+            P_ = max(1, 128 // A_)
+            eff, linv, _cp = pack_eff_tables(streams, cands, P_, PACKED_CL, A_)
+            run = lambda: np.asarray(
+                pallas_mapped_scores_packed(
+                    jnp.asarray(eff), jnp.asarray(linv), *stream_args, ltv,
+                    n_max_gaps=4, TL=8, P=P_, CL=PACKED_CL,
+                    renorm_every=PACKED_RENORM_EVERY,
+                )
+            )
+        else:
+            eff, inv_total = eff_tables(streams, cands)
+            run = lambda: np.asarray(
+                pallas_mapped_scores(
+                    jnp.asarray(eff), jnp.asarray(inv_total), *stream_args,
+                    ltv, n_max_gaps=4, TL=8, space=space,
+                )
+            )
+        run()
+        t0 = time.perf_counter()
+        out = run()
         dt = time.perf_counter() - t0
-        assert np.all(np.isfinite(out[:, : len(lens)]))
+        assert np.all(np.isfinite(out[:C, : len(lens)]))
         return dt, f"pallas-{space}"
 
     def run_xla():
@@ -158,10 +180,14 @@ def main():
         return dt
 
     try:
-        dt, variant = run_pallas()
+        dt, variant = run_pallas("packed")
     except Exception as e:
-        print(f"# pallas path failed ({type(e).__name__}), falling back", file=sys.stderr)
-        dt, variant = run_xla()
+        print(f"# packed pallas failed ({type(e).__name__}), falling back", file=sys.stderr)
+        try:
+            dt, variant = run_pallas("log")
+        except Exception as e2:
+            print(f"# pallas path failed ({type(e2).__name__}), falling back", file=sys.stderr)
+            dt, variant = run_xla()
 
     reads_per_sec = C * B / dt
     headline = {

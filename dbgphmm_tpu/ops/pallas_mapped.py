@@ -44,6 +44,11 @@ from .forward import DeviceModel
 
 NEG = -jnp.inf
 
+# production defaults for the packed kernel (on-chip sweep, docs/PERF_NOTES):
+# CL=8 lane-packs per grid step, renormalize every 2 steps
+PACKED_CL = 8
+PACKED_RENORM_EVERY = 2
+
 
 class MappedStreams(NamedTuple):
     codes: np.ndarray  # [L, B] int32
@@ -65,13 +70,19 @@ def build_streams(
     lens: np.ndarray,
     dbg,
     b_pad: int = 8,
-    a_pad: int = 64,
+    a_pad: int = 16,
 ) -> MappedStreams:
-    """Host-side stream construction from a PHMMTemplate + MappedPositions."""
+    """Host-side stream construction from a PHMMTemplate + MappedPositions.
+
+    The slot width is bucketed to the next power of two >= max(a_pad, A0)
+    (few compile variants per run) and NOT padded further: narrow mappings
+    (score-ratio width ~16 in production) let the packed kernel lane-pack
+    P = 128/A candidates per vreg — measured 35.5k vs 14.6k scorings/s at
+    A=16 vs A=64 (docs/PERF_NOTES.md round 2)."""
     mn = positions.map_nodes  # [B, L, A0]
     B, L, A0 = mn.shape
     D = template.parent_idx.shape[1]
-    A = max(a_pad, A0)
+    A = max(a_pad, 1 << max(0, (A0 - 1)).bit_length())
     Bp = -(-B // b_pad) * b_pad
 
     f2c = template.full_to_compact.astype(np.int32)
@@ -224,17 +235,26 @@ def _make_kernel(TL: int, D: int, n_max_gaps: int, L: int):
             return jnp.where(idx >= 0, out, 0.0)
 
         def gather_tab_multi(tab, idx_md):
-            # idx_md [D', B, A] -> one fused full-lane-width gather
+            # idx_md [D', B, A] -> fused gathers, split so no single gather
+            # exceeds one 128-lane vreg (Mosaic's dynamic_gather limit)
             Dp = idx_md.shape[0]
-            if Dp == 1:
-                return [gather_tab(tab, idx_md[0])]
             A_ = idx_md.shape[2]
-            idx = jnp.concatenate([idx_md[d] for d in range(Dp)], axis=1)
-            safe = jnp.where(idx >= 0, idx, 0)
-            tab_t = jnp.concatenate([tab] * Dp, axis=1)
-            out = jnp.take_along_axis(tab_t, safe, axis=1)
-            out = jnp.where(idx >= 0, out, 0.0)
-            return [out[:, d * A_:(d + 1) * A_] for d in range(Dp)]
+            per = max(1, 128 // A_)
+            outs = []
+            for d0 in range(0, Dp, per):
+                ds = list(range(d0, min(Dp, d0 + per)))
+                if len(ds) == 1:
+                    outs.append(gather_tab(tab, idx_md[ds[0]]))
+                    continue
+                idx = jnp.concatenate([idx_md[d] for d in ds], axis=1)
+                safe = jnp.where(idx >= 0, idx, 0)
+                tab_t = jnp.concatenate([tab] * len(ds), axis=1)
+                out = jnp.take_along_axis(tab_t, safe, axis=1)
+                out = jnp.where(idx >= 0, out, 0.0)
+                outs.extend(
+                    out[:, i * A_:(i + 1) * A_] for i in range(len(ds))
+                )
+            return outs
 
         for t in range(TL):
             x = codes_ref[t]  # [B]
@@ -399,19 +419,26 @@ def _make_kernel_log(TL: int, D: int, n_max_gaps: int, L: int):
             return jnp.where(idx >= 0, out, NEGF)
 
         def gather_log_multi(tab, idx_md):
-            # idx_md [D', B, A] -> D' gathers fused into ONE full-lane-width
-            # take_along_axis on [B, D'*A]; the table is lane-tiled only to
-            # satisfy Mosaic's same-shape gather constraint (indices < A).
+            # idx_md [D', B, A] -> fused gathers, split so no single gather
+            # exceeds one 128-lane vreg (Mosaic's dynamic_gather limit)
             Dp = idx_md.shape[0]
-            if Dp == 1:
-                return [gather_log(tab, idx_md[0])]
             A_ = idx_md.shape[2]
-            idx = jnp.concatenate([idx_md[d] for d in range(Dp)], axis=1)
-            safe = jnp.where(idx >= 0, idx, 0)
-            tab_t = jnp.concatenate([tab] * Dp, axis=1)
-            out = jnp.take_along_axis(tab_t, safe, axis=1)
-            out = jnp.where(idx >= 0, out, NEGF)
-            return [out[:, d * A_:(d + 1) * A_] for d in range(Dp)]
+            per = max(1, 128 // A_)
+            outs = []
+            for d0 in range(0, Dp, per):
+                ds = list(range(d0, min(Dp, d0 + per)))
+                if len(ds) == 1:
+                    outs.append(gather_log(tab, idx_md[ds[0]]))
+                    continue
+                idx = jnp.concatenate([idx_md[d] for d in ds], axis=1)
+                safe = jnp.where(idx >= 0, idx, 0)
+                tab_t = jnp.concatenate([tab] * len(ds), axis=1)
+                out = jnp.take_along_axis(tab_t, safe, axis=1)
+                out = jnp.where(idx >= 0, out, NEGF)
+                outs.extend(
+                    out[:, i * A_:(i + 1) * A_] for i in range(len(ds))
+                )
+            return outs
 
         def ladd(a, b):
             mx = jnp.maximum(a, b)
@@ -1063,7 +1090,7 @@ def pallas_mapped_scores_sharded(
 def pallas_mapped_scores_packed_sharded(
     mesh, eff, linv, lens, codes, emis, numce, selfp, prevp, curp,
     dence, lt_lin, n_max_gaps: int, TL: int, P: int, CL: int,
-    interpret: bool,
+    interpret: bool, renorm_every: int = 1,
 ):
     """shard_map wrapper for the packed kernel: candidate GROUPS sharded
     along "cand", reads along "reads" (same layout contract as
@@ -1075,7 +1102,7 @@ def pallas_mapped_scores_packed_sharded(
 
     fn = _ft.partial(
         pallas_mapped_scores_packed, n_max_gaps=n_max_gaps, TL=TL,
-        P=P, CL=CL, interpret=interpret,
+        P=P, CL=CL, interpret=interpret, renorm_every=renorm_every,
     )
     in_specs = (
         Pt("cand", None, None),            # eff [G, CL*P, NC]
@@ -1113,10 +1140,12 @@ class PallasMappedScorer:
 
     def __init__(self, template, positions, codes: np.ndarray,
                  lens: np.ndarray, params, TL: int = 8, space: str = "log",
-                 mesh=None, cl: int = 8):
+                 mesh=None, cl: int = PACKED_CL,
+                 renorm_every: int = PACKED_RENORM_EVERY):
         self.TL = TL
         self.space = space
         self.cl = cl
+        self.renorm_every = renorm_every
         self.mesh = mesh
         B, L = codes.shape
         if L % TL != 0:
@@ -1213,6 +1242,7 @@ class PallasMappedScorer:
                             *args, self.ltv,
                             n_max_gaps=self.n_max_gaps, TL=self.TL,
                             P=P_, CL=CL, interpret=self.interpret,
+                            renorm_every=self.renorm_every,
                         )
                     )
                 else:
@@ -1221,6 +1251,7 @@ class PallasMappedScorer:
                             jnp.asarray(eff), jnp.asarray(linv), *args,
                             self.ltv, n_max_gaps=self.n_max_gaps, TL=self.TL,
                             P=P_, CL=CL, interpret=self.interpret,
+                            renorm_every=self.renorm_every,
                         )
                     )
             else:

@@ -175,14 +175,16 @@ def test_pallas_wide_mapping_width(setup):
     wide[:, :, :A0] = mn
     pos_w = precompute_positions(wide, tpl.parent_idx,
                                  parent_exists=tpl.parent_exists)
-    scorer = PallasMappedScorer(tpl, pos_w, codes, lens, tpl.params,
-                                space="log")
-    scorer.interpret = True
-    assert scorer.streams.emis.shape[2] == 80
-    got = scorer.scores(candidates)
     models = [tpl.model_for(cn) for cn in candidates]
     ref = candidate_log_likelihoods(models, codes, lens, positions=pos_w)
-    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=1e-5)
+    for space in ("log", "packed"):
+        scorer = PallasMappedScorer(tpl, pos_w, codes, lens, tpl.params,
+                                    space=space)
+        scorer.interpret = True
+        # width buckets to the next power of two (80 -> 128)
+        assert scorer.streams.emis.shape[2] == 128
+        got = scorer.scores(candidates)
+        np.testing.assert_allclose(got, ref, atol=5e-3, rtol=1e-5)
 
 
 def test_packed_kernel_matches_log_kernel(setup):

@@ -199,3 +199,30 @@ def test_uneven_read_count_padding(setup):
         jnp.sum(forward_scores(dm, jnp.asarray(codes), jnp.asarray(lens), renorm=True))
     )
     assert total == pytest.approx(local, abs=1e-9)
+
+
+def test_sharded_packed_scorer_matches_local(dbg_setup):
+    """The lane-packed candidate-blocked Pallas scorer returns the same
+    totals shard_mapped over the mesh and locally (interpret on CPU)."""
+    from dbgphmm_tpu.ops.pallas_mapped import PallasMappedScorer
+
+    dbg, reads, params, mappings = dbg_setup
+    codes, lens, template, positions = _mapped_scoring_inputs(
+        dbg, reads, params, mappings
+    )
+    cands = _neighbor_candidates(dbg)
+    local = PallasMappedScorer(
+        template, positions, codes, lens, params, space="packed"
+    )
+    l_tot, l_ok = local.scores_detailed(cands)
+    mesh = make_mesh(8, cand_axis=2)
+    sharded = PallasMappedScorer(
+        template, positions, codes, lens, params, space="packed", mesh=mesh
+    )
+    s_tot, s_ok = sharded.scores_detailed(cands)
+    np.testing.assert_array_equal(l_ok, s_ok)
+    np.testing.assert_allclose(s_tot[l_ok], l_tot[l_ok], rtol=0, atol=1e-3)
+    # and against the unpacked log scorer
+    base = PallasMappedScorer(template, positions, codes, lens, params)
+    b_tot, b_ok = base.scores_detailed(cands)
+    np.testing.assert_allclose(l_tot[b_ok], b_tot[b_ok], rtol=0, atol=1e-2)
