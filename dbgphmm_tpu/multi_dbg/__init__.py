@@ -429,8 +429,15 @@ class MultiDbg:
         stop_when_ambiguous: bool = True,
         paths: Optional[List[Path]] = None,
         mappings: Optional[List[List[List[int]]]] = None,
+        max_hint_stages: int = 8,
     ):
-        """(ref: multi_dbg.rs:1685-1746)"""
+        """(ref: multi_dbg.rs:1685-1746)
+
+        ``max_hint_stages``: mapping upconversion costs O(reads * bases)
+        Python work PER k+1 stage; when the unambiguous-extension jump spans
+        more stages than this, carrying the hint is slower than one fresh
+        regeneration at the target k — the hint is dropped (returned as
+        None) and the caller regenerates."""
         dbg, full_map, _cm = self.purge_edges(edges_in_compact_to_purge)
         if paths is not None:
             new_paths = []
@@ -449,6 +456,7 @@ class MultiDbg:
                 ]
                 for mp in mappings
             ]
+        stages = 0
         while dbg.k < k_max:
             assert dbg.is_copy_nums_valid()
             was_ambiguous = dbg.n_ambiguous_node() > 0
@@ -459,8 +467,12 @@ class MultiDbg:
                     kp1.path_kp1_from_path_k(p) if p is not None else None
                     for p in paths
                 ]
+            stages += 1
             if mappings is not None:
-                mappings = [kp1.hint_kp1_from_hint_k(mp) for mp in mappings]
+                if stages > max_hint_stages:
+                    mappings = None  # cheaper to regenerate at the target k
+                else:
+                    mappings = [kp1.hint_kp1_from_hint_k(mp) for mp in mappings]
             dbg = kp1
             if stop_when_ambiguous and was_ambiguous:
                 break

@@ -184,7 +184,12 @@ def to_map_string(dbg: MultiDbg, reads, mappings) -> str:
 def to_map_file(dbg: MultiDbg, path, reads, mappings) -> None:
     p = _P(path)
     mode_gzip = p.suffix in (".gz", ".mpz")
-    opener = gzip.open if mode_gzip else open
+    if mode_gzip:
+        # level 1: the per-k .mpz dumps are on the inference loop's critical
+        # path; default level 9 costs seconds per k for a few % size
+        opener = lambda q, m: gzip.open(q, m, compresslevel=1)
+    else:
+        opener = open
     with opener(p, "wt") as f:
         f.write(to_map_string(dbg, reads, mappings))
 
