@@ -240,3 +240,23 @@ def test_n_euler_circuits_log():
     dbg = linear_dbg(b"GATCC", 4)
     # single linear haplotype: exactly 1 euler circuit
     assert dbg.n_euler_circuits_log() == pytest.approx(0.0, abs=1e-9)
+
+
+def test_purge_and_extend_hint_stage_cap():
+    """Mapping hints survive short extensions and are dropped (None) when
+    the unambiguous jump exceeds max_hint_stages — the caller then
+    regenerates once at the target k instead of paying per-stage
+    upconversion."""
+    g = [StyledSequence.linear(b"GATCCACGGATTACGGTA")]
+    dbg = MultiDbg.from_styled_seqs(4, g)
+    # a trivial per-read mapping hint: one node per base
+    hint = [[[e] for e in range(min(5, dbg.n_edges_full()))]]
+    dbg2, _p, m2 = dbg.purge_and_extend(
+        [], k_max=7, stop_when_ambiguous=False, mappings=hint
+    )
+    assert dbg2.k == 7 and m2 is not None
+    dbg3, _p, m3 = dbg.purge_and_extend(
+        [], k_max=14, stop_when_ambiguous=False, mappings=hint,
+        max_hint_stages=3,
+    )
+    assert dbg3.k == 14 and m3 is None
