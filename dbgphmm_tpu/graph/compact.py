@@ -43,14 +43,32 @@ def compact_simple_paths(
     if is_target is None:
         is_target = lambda _w: True
 
+    import numpy as np
+
     n = graph.n_nodes()
-    internal = [_is_internal(graph, v, is_target) for v in range(n)]
+    g_in, g_out = graph._in, graph._out
+    weights = graph.node_weights
+    e_tgt = graph.edge_targets
+    e_w = graph.edge_weights
+    # vectorized degree test; per-node predicate + self-loop exception only
+    # on the (1,1) candidates (this loop dominated k+1 extension time)
+    in_deg = np.bincount(
+        np.asarray(graph.edge_targets, dtype=np.int64), minlength=n
+    )
+    out_deg = np.bincount(
+        np.asarray(graph.edge_sources, dtype=np.int64), minlength=n
+    )
+    internal = [False] * n
+    for v in np.flatnonzero((in_deg == 1) & (out_deg == 1)):
+        v = int(v)
+        if is_target(weights[v]) and g_in[v][0] != g_out[v][0]:
+            internal[v] = True
 
     out = DiGraph()
     node_map: Dict[int, int] = {}
     for v in range(n):
         if not internal[v]:
-            node_map[v] = out.add_node(graph.node(v))
+            node_map[v] = out.add_node(weights[v])
 
     visited_edge = [False] * graph.n_edges()
 
@@ -58,17 +76,17 @@ def compact_simple_paths(
     for v in range(n):
         if internal[v]:
             continue
-        for e0, w0, _ in graph.childs(v):
+        for e0 in g_out[v]:
             if visited_edge[e0]:
                 continue
-            path = [(e0, graph.edge(e0))]
+            path = [(e0, e_w[e0])]
             visited_edge[e0] = True
-            w = w0
+            w = e_tgt[e0]
             while internal[w]:
-                e_next = graph.out_edges(w)[0]
-                path.append((e_next, graph.edge(e_next)))
+                e_next = g_out[w][0]
+                path.append((e_next, e_w[e_next]))
                 visited_edge[e_next] = True
-                w = graph.edge_targets[e_next]
+                w = e_tgt[e_next]
             out.add_edge(node_map[v], node_map[w], path)
 
     # pure internal cycles

@@ -329,18 +329,119 @@ class MultiDbg:
         return MultiDbg.guess_copy_num(copy_ins, copy_outs)[i_in][i_out]
 
     def to_kp1_dbg(self) -> "MultiDbg":
-        """k+1 extension (ref: multi_dbg.rs:1177-1206)."""
-        full = self.to_node_centric_graph(
-            lambda _e, _w: MultiFullNode(False),
-            lambda: MultiFullNode(True),
-            lambda e_in, e_out, node: MultiFullEdge(
-                self.base(e_out), self.guess_copy_num_of_kp1_edge(node, e_in, e_out)
-            ),
-            lambda e: MultiFullEdge(
-                self.full.edge(e).base, self.full.edge(e).copy_num
-            ),
-            True,
+        """k+1 extension (ref: multi_dbg.rs:1177-1206).
+
+        Vectorized line-graph transform — the generic
+        ``to_node_centric_graph`` costs ~0.3-0.5s of Python per stage at
+        production graph sizes and the unambiguous-extension jump runs
+        hundreds to thousands of stages (k_max up to 20,000).  Node/edge
+        indices and ordering are IDENTICAL to the loop construction
+        (verified by tests/test_multi_dbg.py::test_to_kp1_fast_matches_loop).
+        Copy numbers: nodes with in- or out-degree 1 split trivially;
+        ambiguous nodes fall back to guess_copy_num."""
+        import numpy as np
+
+        g = self.full
+        n_v, n_e = g.n_nodes(), g.n_edges()
+        srcs = np.asarray(g.edge_sources, dtype=np.int64)
+        tgts = np.asarray(g.edge_targets, dtype=np.int64)
+        copy = np.fromiter(
+            (w.copy_num for w in g.edge_weights), dtype=np.int64, count=n_e
         )
+        bases = np.fromiter(
+            (w.base for w in g.edge_weights), dtype=np.int64, count=n_e
+        )
+        terminal = next(
+            (v for v in range(n_v) if g.node(v).is_terminal), None
+        )
+
+        in_deg = np.bincount(tgts, minlength=n_v)
+        out_deg = np.bincount(srcs, minlength=n_v)
+        # edges grouped by node ascending, within a group index-ascending —
+        # exactly the _in/_out adjacency list order
+        order_in = np.argsort(tgts, kind="stable")
+        order_out = np.argsort(srcs, kind="stable")
+        out_starts = np.zeros(n_v + 1, dtype=np.int64)
+        np.cumsum(out_deg, out=out_starts[1:])
+
+        # (e_in, e_out) cartesian pairs per non-terminal node, e_in-major
+        mask_in = (
+            np.ones(n_e, dtype=bool)
+            if terminal is None else tgts[order_in] != terminal
+        )
+        ein_src = order_in[mask_in]  # in-edges of non-terminal nodes, in order
+        v_of = tgts[ein_src]
+        reps = out_deg[v_of]
+        e1 = np.repeat(ein_src, reps)
+        total = int(reps.sum())
+        offs = np.zeros(len(ein_src) + 1, dtype=np.int64)
+        np.cumsum(reps, out=offs[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], reps)
+        e2 = order_out[out_starts[np.repeat(v_of, reps)] + within]
+
+        # copy numbers: trivial when the shared node has degree 1 on either
+        # side; guess_copy_num for the (rare) ambiguous nodes
+        vmid = tgts[e1]
+        new_copy = np.where(
+            in_deg[vmid] == 1, copy[e2],
+            np.where(out_deg[vmid] == 1, copy[e1], -1),
+        )
+        amb = np.flatnonzero(new_copy < 0)
+        if amb.size:
+            for v in np.unique(vmid[amb]):
+                parents = g.parents(v)
+                childs = g.childs(v)
+                tab = MultiDbg.guess_copy_num(
+                    [w.copy_num for _e, _p, w in parents],
+                    [w.copy_num for _e, _c, w in childs],
+                )
+                pos_in = {e: i for i, (e, _p, _w) in enumerate(parents)}
+                pos_out = {e: i for i, (e, _c, _w) in enumerate(childs)}
+                sel = amb[vmid[amb] == v]
+                for idx in sel:
+                    new_copy[idx] = tab[pos_in[int(e1[idx])]][
+                        pos_out[int(e2[idx])]
+                    ]
+        new_base = bases[e2]
+
+        # assemble: nodes 0..n_e-1 = old edges, then the terminal node;
+        # edge blocks per node ascending with the terminal block spliced at
+        # the terminal node's position (matches the loop construction)
+        full = DiGraph()
+        full.node_weights = [MultiFullNode(False) for _ in range(n_e)]
+        segments = []  # (sources, targets, copies, bases_or_none)
+        if terminal is not None:
+            t_new = n_e
+            full.node_weights.append(MultiFullNode(True))
+            split = int(np.searchsorted(vmid, terminal))
+            t_in = order_in[tgts[order_in] == terminal]
+            t_out = order_out[srcs[order_out] == terminal]
+            segments.append((e1[:split], e2[:split],
+                             new_copy[:split], new_base[:split]))
+            segments.append((t_in, np.full(len(t_in), t_new, dtype=np.int64),
+                             copy[t_in], bases[t_in]))
+            segments.append((np.full(len(t_out), t_new, dtype=np.int64),
+                             t_out, copy[t_out], bases[t_out]))
+            segments.append((e1[split:], e2[split:],
+                             new_copy[split:], new_base[split:]))
+        else:
+            segments.append((e1, e2, new_copy, new_base))
+
+        full.edge_sources = []
+        full.edge_targets = []
+        full.edge_weights = []
+        for ss, tt, cc, bb in segments:
+            full.edge_sources.extend(int(x) for x in ss)
+            full.edge_targets.extend(int(x) for x in tt)
+            full.edge_weights.extend(
+                MultiFullEdge(int(b), int(c)) for b, c in zip(bb, cc)
+            )
+        n_new = len(full.node_weights)
+        full._out = [[] for _ in range(n_new)]
+        full._in = [[] for _ in range(n_new)]
+        for e, (s, t) in enumerate(zip(full.edge_sources, full.edge_targets)):
+            full._out[s].append(e)
+            full._in[t].append(e)
         return MultiDbg(self.k + 1, full)
 
     def path_kp1_from_path_k(self, path_k: Path) -> Path:

@@ -64,13 +64,17 @@ def main():
     model = dbg.to_phmm(params, mode="non_zero")
     dm = to_device(model, dtype=jnp.float32)
 
+    # 4kb reads, small batch: the forced-dense reference pass is O(B*L*n)
+    # with per-step top_k over n=80k lanes — the heaviest op this framework
+    # runs; keep its footprint bounded (an 11kb x8 variant crashed the TPU
+    # worker process)
     reads = [
         r.seq
         for r in sample_positioned_reads_phmm(
             seqs, params,
-            SampleProfile(n_reads=8, length=11000, seed=0), has_revcomp=False,
+            SampleProfile(n_reads=4, length=4400, seed=0), has_revcomp=False,
         )
-        if len(r.seq) >= 5000
+        if len(r.seq) >= 2000
     ]
     print(f"# {len(reads)} reads, lengths {[len(r) for r in reads]}")
     codes, lens = pad_reads(reads)

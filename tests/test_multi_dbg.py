@@ -260,3 +260,52 @@ def test_purge_and_extend_hint_stage_cap():
         max_hint_stages=3,
     )
     assert dbg3.k == 14 and m3 is None
+
+
+def test_to_kp1_fast_matches_loop():
+    """The vectorized k+1 transform is index-for-index identical to the
+    generic to_node_centric_graph loop construction."""
+    from dbgphmm_tpu.multi_dbg import MultiFullEdge, MultiFullNode
+
+    def kp1_loop(dbg):
+        full = dbg.to_node_centric_graph(
+            lambda _e, _w: MultiFullNode(False),
+            lambda: MultiFullNode(True),
+            lambda e_in, e_out, node: MultiFullEdge(
+                dbg.base(e_out),
+                dbg.guess_copy_num_of_kp1_edge(node, e_in, e_out),
+            ),
+            lambda e: MultiFullEdge(
+                dbg.full.edge(e).base, dbg.full.edge(e).copy_num
+            ),
+            True,
+        )
+        return MultiDbg(dbg.k + 1, full)
+
+    from dbgphmm_tpu.multi_dbg import toy
+
+    cases = [
+        toy.circular(), toy.linear(), toy.intersection(), toy.selfloop(),
+        toy.repeat(), toy.one_in_n_repeat(3), toy.two_components(),
+    ]
+    # plus a genome-derived diploid with branching
+    h1 = b"TTAGGCTTCGATCGAATGCCAGGTTACG"
+    h2 = b"TTAGGCTTGGATCGAATGCCAGGTTACG"
+    cases.append(
+        MultiDbg.from_styled_seqs(
+            8, [StyledSequence.linear(h1), StyledSequence.linear(h2)]
+        )
+    )
+    for dbg in cases:
+        a = dbg.to_kp1_dbg()
+        b = kp1_loop(dbg)
+        assert a.k == b.k
+        assert a.full.n_nodes() == b.full.n_nodes()
+        assert a.full.n_edges() == b.full.n_edges()
+        assert a.full.edge_sources == b.full.edge_sources
+        assert a.full.edge_targets == b.full.edge_targets
+        for e in range(a.full.n_edges()):
+            wa, wb = a.full.edge(e), b.full.edge(e)
+            assert (wa.base, wa.copy_num) == (wb.base, wb.copy_num), e
+        for v in range(a.full.n_nodes()):
+            assert a.full.node(v).is_terminal == b.full.node(v).is_terminal
