@@ -85,7 +85,7 @@ class Mappings:
 
 DENSE_MAPPING_MAX_NODES = 4000
 
-DENSE_COMPUTE_MAX_NODES = 65536  # up to here the mapping forward pass runs
+DENSE_COMPUTE_MAX_NODES = 32768  # up to here the mapping forward pass runs
 # DENSE per step (exact — no frontier that can permanently drop the true
 # path) while storing only the top-A compacted cells for the backward pass.
 # At small k the repeat-shared k-mer ambiguity is huge (a top-64 evolving
@@ -94,6 +94,11 @@ DENSE_COMPUTE_MAX_NODES = 65536  # up to here the mapping forward pass runs
 # re-ranks from the full table every step so weak true cells recover.
 # Beyond this node count (large k) the graph is nearly linear and the
 # evolving-frontier kernel is accurate and much cheaper.
+# Bound lowered 65536 -> 32768 in round 2: dense [B, n, D>=4] scans fault
+# the v5e runtime somewhere in (32768, 65536] (reproducible worker crash;
+# see docs/ACCURACY_NOTES.md round-2 entry); 32768 is on-chip validated,
+# and the frontier decode is validated against a CPU-f64 dense oracle at
+# n=74k (scripts/validate_large_n_mapping.py).
 
 
 MAPPING_WIDTH_CAP = 128  # fixed-shape cap on mapping slots — the analog of
