@@ -73,28 +73,26 @@ def _s_step(dm: DeviceModel, st: SState, cur_nodes: jnp.ndarray, x: jnp.ndarray,
     emis = dm.emission[safe_nodes]  # [B, A]
     p_emit = jnp.where(emis == x[:, None], lt.match, lt.mismatch)
 
-    # fm
-    pm = _gather_prev(par_idx, st.nodes, st.m)
-    pi = _gather_prev(par_idx, st.nodes, st.i)
-    pd = _gather_prev(par_idx, st.nodes, st.d)
-    inner = _ladd3(lt.MM + pm, lt.IM + pi, lt.DM + pd)
+    # fm — combine the three source tables FIRST, then gather once:
+    # gather(ladd3(a,b,c)) == ladd3(gather(a),...) since the gather is a
+    # pure per-slot selection; cuts the O(A*D*A') equality matches from 3
+    # to 1 per frontier (same trick as the Pallas kernel's fused gathers)
+    pre_m = _ladd3(lt.MM + st.m, lt.IM + st.i, lt.DM + st.d)
+    inner = _gather_prev(par_idx, st.nodes, pre_m)
     from_normal = _lse_last(par_logt + inner)
     from_begin = init_lp + _ladd(lt.MM + st.mb, lt.IM + st.ib)[:, None]
     m_new = p_emit + _ladd(from_normal, from_begin)
 
     # fi: self transition, prev table value at the same node
-    sm = _gather_self(cur_nodes, st.nodes, st.m)
-    si = _gather_self(cur_nodes, st.nodes, st.i)
-    sd = _gather_self(cur_nodes, st.nodes, st.d)
-    i_new = lt.random + _ladd3(lt.MI + sm, lt.II + si, lt.DI + sd)
+    pre_i = _ladd3(lt.MI + st.m, lt.II + st.i, lt.DI + st.d)
+    i_new = lt.random + _gather_self(cur_nodes, st.nodes, pre_i)
 
     mb_new = jnp.full_like(st.mb, NEG)
     ib_new = lt.random + _ladd(lt.MI + st.mb, lt.II + st.ib)
 
     # fd: deletion closure within the current active set
-    fm_par = _gather_prev(par_idx, cur_nodes, m_new)
-    fi_par = _gather_prev(par_idx, cur_nodes, i_new)
-    fd0 = _lse_last(par_logt + _ladd(lt.MD + fm_par, lt.ID + fi_par))
+    pre_d = _ladd(lt.MD + m_new, lt.ID + i_new)
+    fd0 = _lse_last(par_logt + _gather_prev(par_idx, cur_nodes, pre_d))
     fd0 = _ladd(fd0, init_lp + _ladd(lt.MD + mb_new, lt.ID + ib_new)[:, None])
     d_new = fd0
     fdt = fd0
