@@ -318,6 +318,50 @@ def cmd_modify_dbg(args):
     print(f"# applied sample {args.sample_id} -> {args.dbg_output}")
 
 
+def cmd_inspect(args):
+    """(ref: bin/inspect.rs) Re-score a DBG's CURRENT copy numbers and the
+    TRUE copy numbers (from the dataset's genome paths) against the reads —
+    the quick "is the truth better than what the climb found?" tool."""
+    from .e2e import Dataset
+    from .multi_dbg import output as out
+    from .multi_dbg.posterior import generate_mappings, score_candidates
+
+    ds = Dataset.from_json_file(args.dataset_json)
+    dbg = out.from_dbg_file(args.dbg)
+    print(f"k={dbg.k} |E|={dbg.n_edges_full()}")
+    params = ds.params
+
+    cn_orig = dbg.get_copy_nums()
+    paths_true = dbg.paths_from_styled_seqs(ds.genome)
+    assert paths_true is not None and all(p is not None for p in paths_true), (
+        "k-mer in genome is missing from the DBG"
+    )
+    cn_full = [0] * dbg.n_edges_full()
+    for p in paths_true:
+        for e in p:
+            cn_full[e] += 1
+    cn_true = [
+        cn_full[dbg.edges_in_full(ec)[0]] for ec in range(dbg.n_edges_compact())
+    ]
+    mappings = generate_mappings(dbg, params, ds.reads)
+    from .ops import pad_reads
+    from .ops.sparse import pad_mappings
+
+    codes, lens = pad_reads(list(ds.reads))
+    width = max(a.shape[1] for a in mappings.nodes)
+    mn = pad_mappings(mappings, codes.shape[1], width)
+    scores = score_candidates(
+        dbg, params, ds.reads, [cn_orig, cn_true], ds.genome_size(),
+        args.sigma, codes=codes, lens=lens, map_nodes=mn,
+    )
+    for name, cn, sc in (("orig", cn_orig, scores[0]), ("true", cn_true, scores[1])):
+        print(f"{name}\t{sc.p():.4f}\t{sc.likelihood:.4f}\t{sc.to_json()}\t{cn}")
+    work = dbg.copy()
+    work.set_copy_nums(cn_true)
+    out.to_map_file(work, f"{args.output_prefix}.true.map", ds.reads, mappings)
+    print(f"# wrote {args.output_prefix}.true.map")
+
+
 def cmd_sample_from_true(args):
     """(ref: bin/sample_from_true.rs) Posterior sampling around the TRUE
     copy numbers of a dataset's genome -- checks that the truth is a local
@@ -581,6 +625,15 @@ def build_parser() -> argparse.ArgumentParser:
     md.add_argument("--sample-id", type=int, default=0)
     md.add_argument("-o", "--dbg-output", required=True)
     md.set_defaults(fn=cmd_modify_dbg)
+
+    ins = sub.add_parser(
+        "inspect", help="re-score current vs true copy numbers on a dataset"
+    )
+    ins.add_argument("-d", "--dbg", required=True)
+    ins.add_argument("dataset_json")
+    ins.add_argument("-s", "--sigma", type=int, default=200)
+    ins.add_argument("-o", "--output-prefix", default="inspect")
+    ins.set_defaults(fn=cmd_inspect)
 
     sft = sub.add_parser("sample-from-true", help="posterior around the true DBG")
     sft.add_argument("dataset_json")

@@ -90,3 +90,15 @@ def test_extend_mapping_cmd(simdir):
     fields = dict(f.split("=") for f in line.split() if "=" in f)
     assert float(fields["p_extend"]) <= 0.0
     assert float(fields["p_true"]) <= 0.0
+
+
+def test_inspect_cmd(simdir):
+    r = run_cli(["inspect", "-d", "sim.dbg", "sim.json", "-o", "insp"], simdir)
+    assert r.returncode == 0, r.stderr + r.stdout
+    lines = [l for l in r.stdout.splitlines() if l.startswith(("orig\t", "true\t"))]
+    assert len(lines) == 2
+    # both rows carry finite scores; the true row's p >= orig's (draft == truth here)
+    p_orig = float(lines[0].split("\t")[1])
+    p_true = float(lines[1].split("\t")[1])
+    assert p_true >= p_orig - 1e-6
+    assert (simdir / "insp.true.map").exists()
