@@ -136,6 +136,11 @@ def _pad_hint_nodes(hint: Mappings, L: int, cap: int) -> np.ndarray:
     return out
 
 
+MAPPING_READ_CHUNK = 160  # decode stores O(L * B * A) per-step tables on
+# device; chunk the read batch so the footprint stays bounded at
+# production read counts (KIR class: 500+ reads x 10kb would need ~17GB)
+
+
 def generate_mappings(
     dbg: MultiDbg,
     params: PHMMParams,
@@ -147,6 +152,8 @@ def generate_mappings(
     hint: Optional[Mappings] = None,
     hint_gate: float = 100.0,
     verbose: bool = False,
+    read_chunk: int = MAPPING_READ_CHUNK,
+    pad_to: Optional[int] = None,
 ) -> Mappings:
     """Posterior state decode on the non-zero PHMM -> per-base active nodes
     by score ratio under a top-k cap (ref: posterior.rs:609-637
@@ -176,9 +183,39 @@ def generate_mappings(
         dtype = default_dtype()
     if max_ratio == "default":
         max_ratio = params.active_node_max_ratio
+
+    # chunk large read batches: the decode stores per-step tables on device;
+    # a shared pad_to keeps chunk shapes identical (one compile, not one
+    # per chunk)
+    if read_chunk and len(reads) > read_chunk:
+        reads_l = list(reads)
+        L_max = max(len(r) for r in reads_l)
+        parts = []
+        for c0 in range(0, len(reads_l), read_chunk):
+            sub = reads_l[c0 : c0 + read_chunk]
+            sub_hint = None
+            if hint is not None:
+                sub_hint = Mappings(
+                    hint.nodes[c0 : c0 + read_chunk],
+                    hint.logps[c0 : c0 + read_chunk],
+                    None if hint.read_logps is None
+                    else hint.read_logps[c0 : c0 + read_chunk],
+                )
+            parts.append(generate_mappings(
+                dbg, params, sub, n_active=n_active, dtype=dtype,
+                max_ratio=max_ratio, mesh=mesh, hint=sub_hint,
+                hint_gate=hint_gate, verbose=verbose, read_chunk=0,
+                pad_to=L_max,
+            ))
+        return Mappings(
+            [a for p in parts for a in p.nodes],
+            [a for p in parts for a in p.logps],
+            np.concatenate([p.read_logps for p in parts]),
+        )
+
     model = dbg.to_phmm(params, mode="non_zero")
     dm = to_device(model, dtype=dtype)
-    codes, lens = pad_reads(list(reads))
+    codes, lens = pad_reads(list(reads), pad_to=pad_to)
     n_reads = codes.shape[0]
     codes_d, lens_d = jnp.asarray(codes), jnp.asarray(lens)
     hint_arr = None
@@ -253,6 +290,7 @@ def generate_mappings(
             fresh = generate_mappings(
                 dbg, params, [reads[int(i)] for i in idx],
                 n_active=n_active, dtype=dtype, max_ratio=max_ratio,
+                pad_to=codes.shape[1],
             )
             for j, i in enumerate(idx):
                 nodes[int(i)] = fresh.nodes[j]

@@ -218,3 +218,20 @@ def test_infer_hint_mappings_match_fresh():
         results.append((dbg_final.k, haps, post.max_copy_nums()))
     assert results[0] == results[1]
     assert results[0][1] == sorted(s.seq for s in g)
+
+
+def test_generate_mappings_read_chunking():
+    """Chunked decode (read_chunk < n_reads) gives identical mappings to
+    the single-batch decode."""
+    g = small_diploid()
+    dbg = MultiDbg.from_styled_seqs(8, [s for s in g])
+    reads = perfect_reads(g, coverage=8, read_len=14, seed=3)
+    params = PHMMParams.uniform(0.001)
+    full = generate_mappings(dbg, params, reads, n_active=8, read_chunk=0)
+    chunked = generate_mappings(dbg, params, reads, n_active=8, read_chunk=5)
+    assert full.n_reads() == chunked.n_reads()
+    np.testing.assert_allclose(chunked.read_logps, full.read_logps, atol=1e-9)
+    for a, b in zip(chunked.nodes, full.nodes):
+        w = min(a.shape[1], b.shape[1])
+        assert np.array_equal(a[:, :w], b[:, :w])
+        assert (a[:, w:] < 0).all() and (b[:, w:] < 0).all()
