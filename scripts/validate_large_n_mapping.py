@@ -134,14 +134,12 @@ def main():
     # difference under the SHARED mapping, which must match dense.
     import dataclasses
 
+    from dbgphmm_tpu.multi_dbg.neighbors import to_short_neighbors
+
     truth = dbg.get_copy_nums()
-    pert = list(truth)
-    inner = [
-        e for e in range(dbg.n_edges_compact())
-        if truth[e] >= 2 and len(dbg.edges_in_full(e)) > 2 * k
-    ]
-    pe_ = inner[len(inner) // 2] if inner else 0
-    pert[pe_] += 1
+    nbrs = to_short_neighbors(dbg, max_cycle_size=10, max_flip=2)
+    assert nbrs, "no flow-consistent neighbors found"
+    pert = nbrs[0][0]
     deltas = {}
     for name, cn in (("true", truth), ("pert", pert)):
         work = dbg.copy()
