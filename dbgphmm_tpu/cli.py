@@ -411,19 +411,13 @@ def cmd_extend_mapping(args):
     prefix = str(args.output_prefix)
     codes, lens = pad_reads(list(reads))
 
-    def lists_to_mappings(maps_lists, read_logps=None):
-        nodes, logps = [], []
-        for mp in maps_lists:
-            w = max(1, max((len(row) for row in mp), default=1))
-            nd = np.full((len(mp), w), -1, dtype=np.int64)
-            for j, row in enumerate(mp):
-                nd[j, : len(row)] = row
-            nodes.append(nd)
-            # placeholder weights: the raw upconverted hint has no posterior
-            # probs yet (they come from the refine step below); nan marks
-            # them as not-a-real-posterior for downstream readers
-            logps.append(np.full(nd.shape, np.nan))
-        return Mappings(nodes, logps, read_logps)
+    def lists_to_mappings(maps_arrays, read_logps=None):
+        # purge_and_extend returns padded per-read arrays; placeholder nan
+        # weights mark the raw upconverted hint as not-a-real-posterior
+        # (real probs come from the refine step below)
+        nodes = list(maps_arrays)
+        return Mappings(nodes, [np.full(a.shape, np.nan) for a in nodes],
+                        read_logps)
 
     def likelihood_with(mps):
         from .ops.sparse import pad_mappings
@@ -452,12 +446,9 @@ def cmd_extend_mapping(args):
             e for e in range(dbg.n_edges_compact())
             if dbg.copy_num_of_edge_in_compact(e) == 0
         ]
-        maps_as_lists = [
-            [row[row >= 0].tolist() for row in mp] for mp in mappings.nodes
-        ]
         t0 = time.time()
         dbg, paths, maps_ext = dbg.purge_and_extend(
-            zero_edges, args.k_max, True, paths, maps_as_lists
+            zero_edges, args.k_max, True, paths, list(mappings.nodes)
         )
         t_extend = time.time() - t0
         # refine: re-run the decode seeded with the extended mapping before

@@ -328,6 +328,45 @@ class MultiDbg:
         i_out = next(i for i, (e, _c, _w) in enumerate(childs) if e == edge_out)
         return MultiDbg.guess_copy_num(copy_ins, copy_outs)[i_in][i_out]
 
+    def _full_arrays(self) -> "FullArrays":
+        """Snapshot the full graph as plain numpy arrays (the array-resident
+        representation used by the k+1 extension jump)."""
+        g = self.full
+        n_v, n_e = g.n_nodes(), g.n_edges()
+        return FullArrays(
+            n_nodes=n_v,
+            terminal=next(
+                (v for v in range(n_v) if g.node(v).is_terminal), None
+            ),
+            srcs=np.asarray(g.edge_sources, dtype=np.int64),
+            tgts=np.asarray(g.edge_targets, dtype=np.int64),
+            copy=np.fromiter(
+                (w.copy_num for w in g.edge_weights), dtype=np.int64, count=n_e
+            ),
+            bases=np.fromiter(
+                (w.base for w in g.edge_weights), dtype=np.int64, count=n_e
+            ),
+        )
+
+    @staticmethod
+    def _from_full_arrays(k: int, fa: "FullArrays") -> "MultiDbg":
+        """Materialize a MultiDbg from the array representation."""
+        full = DiGraph()
+        full.node_weights = [
+            MultiFullNode(v == fa.terminal) for v in range(fa.n_nodes)
+        ]
+        full.edge_sources = [int(x) for x in fa.srcs]
+        full.edge_targets = [int(x) for x in fa.tgts]
+        full.edge_weights = [
+            MultiFullEdge(int(b), int(c)) for b, c in zip(fa.bases, fa.copy)
+        ]
+        full._out = [[] for _ in range(fa.n_nodes)]
+        full._in = [[] for _ in range(fa.n_nodes)]
+        for e, (s, t) in enumerate(zip(full.edge_sources, full.edge_targets)):
+            full._out[s].append(e)
+            full._in[t].append(e)
+        return MultiDbg(k, full)
+
     def to_kp1_dbg(self) -> "MultiDbg":
         """k+1 extension (ref: multi_dbg.rs:1177-1206).
 
@@ -338,111 +377,11 @@ class MultiDbg:
         indices and ordering are IDENTICAL to the loop construction
         (verified by tests/test_multi_dbg.py::test_to_kp1_fast_matches_loop).
         Copy numbers: nodes with in- or out-degree 1 split trivially;
-        ambiguous nodes fall back to guess_copy_num."""
-        import numpy as np
+        ambiguous nodes fall back to guess_copy_num.
 
-        g = self.full
-        n_v, n_e = g.n_nodes(), g.n_edges()
-        srcs = np.asarray(g.edge_sources, dtype=np.int64)
-        tgts = np.asarray(g.edge_targets, dtype=np.int64)
-        copy = np.fromiter(
-            (w.copy_num for w in g.edge_weights), dtype=np.int64, count=n_e
-        )
-        bases = np.fromiter(
-            (w.base for w in g.edge_weights), dtype=np.int64, count=n_e
-        )
-        terminal = next(
-            (v for v in range(n_v) if g.node(v).is_terminal), None
-        )
-
-        in_deg = np.bincount(tgts, minlength=n_v)
-        out_deg = np.bincount(srcs, minlength=n_v)
-        # edges grouped by node ascending, within a group index-ascending —
-        # exactly the _in/_out adjacency list order
-        order_in = np.argsort(tgts, kind="stable")
-        order_out = np.argsort(srcs, kind="stable")
-        out_starts = np.zeros(n_v + 1, dtype=np.int64)
-        np.cumsum(out_deg, out=out_starts[1:])
-
-        # (e_in, e_out) cartesian pairs per non-terminal node, e_in-major
-        mask_in = (
-            np.ones(n_e, dtype=bool)
-            if terminal is None else tgts[order_in] != terminal
-        )
-        ein_src = order_in[mask_in]  # in-edges of non-terminal nodes, in order
-        v_of = tgts[ein_src]
-        reps = out_deg[v_of]
-        e1 = np.repeat(ein_src, reps)
-        total = int(reps.sum())
-        offs = np.zeros(len(ein_src) + 1, dtype=np.int64)
-        np.cumsum(reps, out=offs[1:])
-        within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], reps)
-        e2 = order_out[out_starts[np.repeat(v_of, reps)] + within]
-
-        # copy numbers: trivial when the shared node has degree 1 on either
-        # side; guess_copy_num for the (rare) ambiguous nodes
-        vmid = tgts[e1]
-        new_copy = np.where(
-            in_deg[vmid] == 1, copy[e2],
-            np.where(out_deg[vmid] == 1, copy[e1], -1),
-        )
-        amb = np.flatnonzero(new_copy < 0)
-        if amb.size:
-            for v in np.unique(vmid[amb]):
-                parents = g.parents(v)
-                childs = g.childs(v)
-                tab = MultiDbg.guess_copy_num(
-                    [w.copy_num for _e, _p, w in parents],
-                    [w.copy_num for _e, _c, w in childs],
-                )
-                pos_in = {e: i for i, (e, _p, _w) in enumerate(parents)}
-                pos_out = {e: i for i, (e, _c, _w) in enumerate(childs)}
-                sel = amb[vmid[amb] == v]
-                for idx in sel:
-                    new_copy[idx] = tab[pos_in[int(e1[idx])]][
-                        pos_out[int(e2[idx])]
-                    ]
-        new_base = bases[e2]
-
-        # assemble: nodes 0..n_e-1 = old edges, then the terminal node;
-        # edge blocks per node ascending with the terminal block spliced at
-        # the terminal node's position (matches the loop construction)
-        full = DiGraph()
-        full.node_weights = [MultiFullNode(False) for _ in range(n_e)]
-        segments = []  # (sources, targets, copies, bases_or_none)
-        if terminal is not None:
-            t_new = n_e
-            full.node_weights.append(MultiFullNode(True))
-            split = int(np.searchsorted(vmid, terminal))
-            t_in = order_in[tgts[order_in] == terminal]
-            t_out = order_out[srcs[order_out] == terminal]
-            segments.append((e1[:split], e2[:split],
-                             new_copy[:split], new_base[:split]))
-            segments.append((t_in, np.full(len(t_in), t_new, dtype=np.int64),
-                             copy[t_in], bases[t_in]))
-            segments.append((np.full(len(t_out), t_new, dtype=np.int64),
-                             t_out, copy[t_out], bases[t_out]))
-            segments.append((e1[split:], e2[split:],
-                             new_copy[split:], new_base[split:]))
-        else:
-            segments.append((e1, e2, new_copy, new_base))
-
-        full.edge_sources = []
-        full.edge_targets = []
-        full.edge_weights = []
-        for ss, tt, cc, bb in segments:
-            full.edge_sources.extend(int(x) for x in ss)
-            full.edge_targets.extend(int(x) for x in tt)
-            full.edge_weights.extend(
-                MultiFullEdge(int(b), int(c)) for b, c in zip(bb, cc)
-            )
-        n_new = len(full.node_weights)
-        full._out = [[] for _ in range(n_new)]
-        full._in = [[] for _ in range(n_new)]
-        for e, (s, t) in enumerate(zip(full.edge_sources, full.edge_targets)):
-            full._out[s].append(e)
-            full._in[t].append(e)
-        return MultiDbg(self.k + 1, full)
+        The multi-stage jump inside :meth:`purge_and_extend` stays in array
+        land (``_kp1_arrays``) and materializes a MultiDbg only once."""
+        return MultiDbg._from_full_arrays(self.k + 1, _kp1_arrays(self._full_arrays()))
 
     def path_kp1_from_path_k(self, path_k: Path) -> Path:
         """(ref: multi_dbg.rs:1248-1292)"""
@@ -529,16 +468,20 @@ class MultiDbg:
         k_max: int,
         stop_when_ambiguous: bool = True,
         paths: Optional[List[Path]] = None,
-        mappings: Optional[List[List[List[int]]]] = None,
-        max_hint_stages: int = 8,
+        mappings=None,
+        max_hint_stages: int = 64,
     ):
         """(ref: multi_dbg.rs:1685-1746)
 
-        ``max_hint_stages``: mapping upconversion costs O(reads * bases)
-        Python work PER k+1 stage; when the unambiguous-extension jump spans
-        more stages than this, carrying the hint is slower than one fresh
-        regeneration at the target k — the hint is dropped (returned as
-        None) and the caller regenerates."""
+        The k+1 jump runs entirely on the array representation
+        (``_kp1_arrays``) — path and mapping upconversion are vectorized per
+        stage and a MultiDbg is materialized only once at the target k.
+
+        ``mappings``: per-read hint node sets; accepts list-of-lists rows or
+        a padded int array [L, A] (-1 pad) per read; always RETURNED as
+        padded arrays.  ``max_hint_stages``: the hint width can grow through
+        high-in-degree stretches; past this many stages the hint is dropped
+        (returned as None) and the caller regenerates at the target k."""
         dbg, full_map, _cm = self.purge_edges(edges_in_compact_to_purge)
         if paths is not None:
             new_paths = []
@@ -550,33 +493,48 @@ class MultiDbg:
                 new_paths.append(None if any(x is None for x in q) else q)
             paths = new_paths
         if mappings is not None:
-            mappings = [
-                [
-                    [full_map[v] for v in per_base if full_map[v] is not None]
-                    for per_base in mp
-                ]
-                for mp in mappings
-            ]
+            # remap through the purge and normalize to padded arrays
+            fm = np.full(self.n_edges_full() + 1, -1, dtype=np.int64)
+            for old, new in full_map.items():
+                fm[old] = -1 if new is None else new
+            arrs = []
+            for mp in mappings:
+                if not isinstance(mp, np.ndarray):
+                    w = max(1, max((len(row) for row in mp), default=1))
+                    a = np.full((len(mp), w), -1, dtype=np.int64)
+                    for j, row in enumerate(mp):
+                        a[j, : len(row)] = row
+                    mp = a
+                mp = mp.astype(np.int64, copy=False)
+                arrs.append(np.where(mp >= 0, fm[mp], -1))
+            mappings = arrs
+
+        fa = dbg._full_arrays()
+        k = dbg.k
         stages = 0
-        while dbg.k < k_max:
-            assert dbg.is_copy_nums_valid()
-            was_ambiguous = dbg.n_ambiguous_node() > 0
-            kp1 = dbg.to_kp1_dbg()
-            assert kp1.is_copy_nums_valid()
+        while k < k_max:
+            assert _copy_nums_valid_arrays(fa), "invalid copy nums"
+            was_ambiguous = _n_ambiguous_arrays(fa) > 0
+            fa2 = _kp1_arrays(fa)
+            assert _copy_nums_valid_arrays(fa2), "k+1 broke copy nums"
             if paths is not None:
-                paths = [
-                    kp1.path_kp1_from_path_k(p) if p is not None else None
-                    for p in paths
-                ]
+                paths = _paths_kp1_arrays(fa2, paths)
             stages += 1
             if mappings is not None:
                 if stages > max_hint_stages:
                     mappings = None  # cheaper to regenerate at the target k
                 else:
-                    mappings = [kp1.hint_kp1_from_hint_k(mp) for mp in mappings]
-            dbg = kp1
+                    order_in, starts, in_deg = _in_csr(fa2)
+                    mappings = [
+                        _hint_kp1_array(mp, order_in, starts, in_deg)
+                        for mp in mappings
+                    ]
+            fa = fa2
+            k += 1
             if stop_when_ambiguous and was_ambiguous:
                 break
+        if k > dbg.k:
+            dbg = MultiDbg._from_full_arrays(k, fa)
         return dbg, paths, mappings
 
     # -- PHMM conversion (ref: multi_dbg.rs:1363-1438) ------------------------
@@ -814,3 +772,208 @@ class KmerNotFoundError(Exception):
     def __init__(self, kmers):
         self.kmers = kmers
         super().__init__(f"{len(kmers)} k-mers not found in DBG")
+
+
+# -- array-resident k+1 extension (ref: multi_dbg.rs:1177-1206,1685-1746) ------
+#
+# The unambiguous-extension jump runs up to thousands of k+1 stages; building
+# Python DiGraph objects per stage costs 0.3-0.5s each at production sizes.
+# These helpers keep the full graph as numpy arrays across the whole jump.
+
+
+from typing import NamedTuple
+
+
+class FullArrays(NamedTuple):
+    """Full-graph snapshot: edge list arrays + the terminal node id.
+    Node ids are 0..n_nodes-1; the terminal (if any) is explicit."""
+
+    n_nodes: int
+    terminal: Optional[int]
+    srcs: np.ndarray  # int64 [E]
+    tgts: np.ndarray  # int64 [E]
+    copy: np.ndarray  # int64 [E]
+    bases: np.ndarray  # int64 [E]
+
+
+def _copy_nums_valid_arrays(fa: FullArrays) -> bool:
+    """Vectorized flow-consistency check (ref: multi_dbg.rs:1008)."""
+    cin = np.bincount(fa.tgts, weights=fa.copy, minlength=fa.n_nodes)
+    cout = np.bincount(fa.srcs, weights=fa.copy, minlength=fa.n_nodes)
+    return bool(np.array_equal(cin, cout))
+
+
+def _n_ambiguous_arrays(fa: FullArrays) -> int:
+    """Vectorized count of nodes with in-deg > 1 AND out-deg > 1 over
+    positive-copy edges (matches MultiDbg.n_ambiguous_node)."""
+    pos = fa.copy > 0
+    ind = np.bincount(fa.tgts[pos], minlength=fa.n_nodes)
+    outd = np.bincount(fa.srcs[pos], minlength=fa.n_nodes)
+    return int(((ind > 1) & (outd > 1)).sum())
+
+
+def _kp1_arrays(fa: FullArrays) -> FullArrays:
+    """One k+1 stage on the array representation: edge of G -> node of G'
+    (same index), (in,out) cartesian pairs at non-terminal nodes -> edges of
+    G', terminal re-inserted.  Index order identical to
+    ``to_node_centric_graph`` (per-node blocks ascending, terminal block
+    spliced at the terminal's position)."""
+    n_v, n_e = fa.n_nodes, len(fa.srcs)
+    srcs, tgts, copy, bases, terminal = (
+        fa.srcs, fa.tgts, fa.copy, fa.bases, fa.terminal,
+    )
+
+    in_deg = np.bincount(tgts, minlength=n_v)
+    out_deg = np.bincount(srcs, minlength=n_v)
+    # edges grouped by node ascending, within a group index-ascending —
+    # exactly the _in/_out adjacency list order
+    order_in = np.argsort(tgts, kind="stable")
+    order_out = np.argsort(srcs, kind="stable")
+    out_starts = np.zeros(n_v + 1, dtype=np.int64)
+    np.cumsum(out_deg, out=out_starts[1:])
+
+    # (e_in, e_out) cartesian pairs per non-terminal node, e_in-major
+    mask_in = (
+        np.ones(n_e, dtype=bool)
+        if terminal is None else tgts[order_in] != terminal
+    )
+    ein_src = order_in[mask_in]  # in-edges of non-terminal nodes, in order
+    v_of = tgts[ein_src]
+    reps = out_deg[v_of]
+    e1 = np.repeat(ein_src, reps)
+    total = int(reps.sum())
+    offs = np.zeros(len(ein_src) + 1, dtype=np.int64)
+    np.cumsum(reps, out=offs[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], reps)
+    e2 = order_out[out_starts[np.repeat(v_of, reps)] + within]
+
+    # copy numbers: trivial when the shared node has degree 1 on either
+    # side; guess_copy_num for the (rare) ambiguous nodes
+    vmid = tgts[e1]
+    new_copy = np.where(
+        in_deg[vmid] == 1, copy[e2],
+        np.where(out_deg[vmid] == 1, copy[e1], -1),
+    )
+    amb = np.flatnonzero(new_copy < 0)
+    if amb.size:
+        in_starts = np.zeros(n_v + 1, dtype=np.int64)
+        np.cumsum(in_deg, out=in_starts[1:])
+        for v in np.unique(vmid[amb]):
+            ins = order_in[in_starts[v] : in_starts[v + 1]]
+            outs = order_out[out_starts[v] : out_starts[v + 1]]
+            tab = MultiDbg.guess_copy_num(
+                [int(copy[e]) for e in ins], [int(copy[e]) for e in outs]
+            )
+            pos_in = {int(e): i for i, e in enumerate(ins)}
+            pos_out = {int(e): i for i, e in enumerate(outs)}
+            sel = amb[vmid[amb] == v]
+            for idx in sel:
+                new_copy[idx] = tab[pos_in[int(e1[idx])]][pos_out[int(e2[idx])]]
+    new_base = bases[e2]
+
+    # assemble: nodes 0..n_e-1 = old edges, then the terminal node; edge
+    # blocks per node ascending with the terminal block spliced at the
+    # terminal node's position (matches the loop construction)
+    if terminal is not None:
+        t_new = n_e
+        split = int(np.searchsorted(vmid, terminal))
+        t_in = order_in[tgts[order_in] == terminal]
+        t_out = order_out[srcs[order_out] == terminal]
+        new_srcs = np.concatenate([
+            e1[:split], t_in,
+            np.full(len(t_out), t_new, dtype=np.int64), e1[split:],
+        ])
+        new_tgts = np.concatenate([
+            e2[:split], np.full(len(t_in), t_new, dtype=np.int64),
+            t_out, e2[split:],
+        ])
+        new_cp = np.concatenate([
+            new_copy[:split], copy[t_in], copy[t_out], new_copy[split:],
+        ])
+        new_bs = np.concatenate([
+            new_base[:split], bases[t_in], bases[t_out], new_base[split:],
+        ])
+        return FullArrays(n_e + 1, t_new, new_srcs, new_tgts, new_cp, new_bs)
+    return FullArrays(n_e, None, e1, e2, new_copy, new_base)
+
+
+def _paths_kp1_arrays(fa_new: FullArrays, paths: List[Optional[Path]]):
+    """Vectorized path upconversion on the k+1 arrays (semantics of
+    ``path_kp1_from_path_k``, ref: multi_dbg.rs:1248-1292): linear form
+    [terminal->first, steps..., last->terminal] when both terminal edges
+    exist, else circular with wraparound."""
+    nv = fa_new.n_nodes
+    keys = fa_new.srcs * nv + fa_new.tgts
+    order = np.argsort(keys, kind="stable")
+    skeys = keys[order]
+
+    def lookup(qs: np.ndarray, qt: np.ndarray):
+        q = qs * nv + qt
+        pos = np.searchsorted(skeys, q)
+        pos_c = np.minimum(pos, len(skeys) - 1)
+        ok = (pos < len(skeys)) & (skeys[pos_c] == q)
+        return np.where(ok, order[pos_c], -1), ok
+
+    out: List[Optional[Path]] = []
+    t = fa_new.terminal
+    for p in paths:
+        if p is None:
+            out.append(None)
+            continue
+        pa = np.asarray(p, dtype=np.int64)
+        n = len(pa)
+        start = end = None
+        if t is not None:
+            s_arr, s_ok = lookup(np.array([t, pa[-1]]), np.array([pa[0], t]))
+            if s_ok.all():
+                start, end = int(s_arr[0]), int(s_arr[1])
+        if start is not None:
+            inner, ok = lookup(pa[:-1], pa[1:])
+            assert ok.all(), "invalid path"
+            out.append([start] + inner.tolist() + [end])
+        else:
+            nxt = np.roll(pa, -1)
+            es, ok = lookup(pa, nxt)
+            assert ok.all(), "invalid path"
+            out.append(es.tolist())
+    return out
+
+
+def _in_csr(fa: FullArrays):
+    """In-edge CSR of a FullArrays graph: (sorted edge ids by target,
+    starts, degrees) — in-edges of v are sorted[starts[v]:starts[v+1]],
+    ascending edge index (the _in adjacency order)."""
+    order_in = np.argsort(fa.tgts, kind="stable")
+    in_deg = np.bincount(fa.tgts, minlength=fa.n_nodes)
+    starts = np.zeros(fa.n_nodes + 1, dtype=np.int64)
+    np.cumsum(in_deg, out=starts[1:])
+    return order_in, starts, in_deg
+
+
+def _hint_kp1_array(
+    hint: np.ndarray, order_in: np.ndarray, starts: np.ndarray,
+    in_deg: np.ndarray,
+) -> np.ndarray:
+    """Vectorized mapping upconversion on one read's padded hint array
+    [L, A] (-1 pad): node v (= k full edge = k+1 full node) expands to all
+    in-edges of v in the k+1 graph (semantics of ``hint_kp1_from_hint_k``,
+    ref: multi_dbg.rs:1325-1334)."""
+    L, A = hint.shape
+    v = hint.ravel().astype(np.int64)
+    valid = v >= 0
+    deg = np.where(valid, in_deg[np.where(valid, v, 0)], 0).astype(np.int64)
+    csum = np.cumsum(deg) - deg  # exclusive prefix over flattened elements
+    row_base = csum[np.arange(L) * A]  # cumsum at each row's first element
+    row_counts = csum[np.arange(L) * A + (A - 1)] + deg[np.arange(L) * A + (A - 1)] - row_base
+    W = max(1, int(row_counts.max(initial=1)))
+    total = int(deg.sum())
+    out = np.full((L, W), -1, dtype=np.int32)
+    if total == 0:
+        return out
+    elem_of = np.repeat(np.arange(L * A, dtype=np.int64), deg)
+    within = np.arange(total, dtype=np.int64) - np.repeat(csum, deg)
+    vals = order_in[starts[v[elem_of]] + within]
+    rows = elem_of // A
+    cols = csum[elem_of] - row_base[rows] + within
+    out[rows, cols] = vals
+    return out

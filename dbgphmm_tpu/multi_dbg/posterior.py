@@ -687,14 +687,9 @@ def purge_and_extend_with_posterior(
             and posterior.p_edge_x(e, 0) > lp0
         ):
             edges_purge.append(e)
-    maps_as_lists = None
-    if mappings is not None:
-        maps_as_lists = [
-            [nodes_row[nodes_row >= 0].tolist() for nodes_row in mp]
-            for mp in mappings.nodes
-        ]
     dbg2, paths2, maps2 = work.purge_and_extend(
-        edges_purge, k_max, True, paths, maps_as_lists
+        edges_purge, k_max, True, paths,
+        list(mappings.nodes) if mappings is not None else None,
     )
     return dbg2, paths2, maps2
 
@@ -756,17 +751,11 @@ def infer_posterior_by_extension(
         if use_hint_mappings and maps2 is not None:
             # upconverted active sets seed the next k's decode instead of a
             # full from-scratch regeneration (the reference's designed-but-
-            # unwired hint path, multi_dbg.rs:1325-1334 / hint.rs:66-88)
-            hnodes = []
-            for mp in maps2:
-                w = max((len(pb) for pb in mp), default=0) or 1
-                arr = np.full((len(mp), w), -1, dtype=np.int32)
-                for j, pb in enumerate(mp):
-                    arr[j, : len(pb)] = pb
-                hnodes.append(arr)
+            # unwired hint path, multi_dbg.rs:1325-1334 / hint.rs:66-88);
+            # maps2 comes back as padded per-read arrays
             hint_m = Mappings(
-                hnodes,
-                [np.zeros(a.shape) for a in hnodes],
+                maps2,
+                [np.zeros(a.shape) for a in maps2],
                 mappings.read_logps,
             )
         mappings = generate_mappings(

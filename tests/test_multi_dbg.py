@@ -309,3 +309,41 @@ def test_to_kp1_fast_matches_loop():
             assert (wa.base, wa.copy_num) == (wb.base, wb.copy_num), e
         for v in range(a.full.n_nodes()):
             assert a.full.node(v).is_terminal == b.full.node(v).is_terminal
+
+
+def test_array_jump_matches_per_stage_methods():
+    """The array-resident purge_and_extend jump (vectorized path + hint
+    upconversion) matches the per-object to_kp1_dbg /
+    path_kp1_from_path_k / hint_kp1_from_hint_k stage methods."""
+    h1 = b"TTAGGCTTCGATCGAATGCCAGGTTACGCTAGGC"
+    h2 = b"TTAGGCTTGGATCGAATGCCAGGTTACGGTAGGC"
+    g = [StyledSequence.linear(h1), StyledSequence.linear(h2)]
+    dbg = MultiDbg.from_styled_seqs(6, g)
+    paths = dbg.paths_from_styled_seqs(g)
+    hint = [[[e] for e in p[:10]] for p in paths]  # toy per-base hints
+
+    # reference: per-stage object methods
+    ref, ref_paths, ref_maps = dbg, list(paths), [list(m) for m in hint]
+    for _ in range(5):
+        kp1 = ref.to_kp1_dbg()
+        ref_paths = [kp1.path_kp1_from_path_k(p) for p in ref_paths]
+        ref_maps = [kp1.hint_kp1_from_hint_k(m) for m in ref_maps]
+        ref = kp1
+
+    got, got_paths, got_maps = dbg.purge_and_extend(
+        [], k_max=dbg.k + 5, stop_when_ambiguous=False, paths=paths,
+        mappings=hint,
+    )
+    assert got.k == ref.k
+    assert got.full.edge_sources == ref.full.edge_sources
+    assert got.full.edge_targets == ref.full.edge_targets
+    assert [w.copy_num for w in got.full.edge_weights] == [
+        w.copy_num for w in ref.full.edge_weights
+    ]
+    assert [w.base for w in got.full.edge_weights] == [
+        w.base for w in ref.full.edge_weights
+    ]
+    assert got_paths == ref_paths
+    for ga, rl in zip(got_maps, ref_maps):
+        rows = [sorted(r[r >= 0].tolist()) for r in ga]
+        assert rows == [sorted(r) for r in rl]
