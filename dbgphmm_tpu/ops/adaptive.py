@@ -28,6 +28,59 @@ from .forward import DeviceModel, NEG, _ladd, _ladd3, _ratio_mask
 from .sparse import SState, _gather_prev, _gather_self, _lse_last, _s_step
 
 
+def _pack_model(dm: DeviceModel) -> jnp.ndarray:
+    """Pack all per-node model attributes into ONE [n, 2+5D] table so each
+    scan step performs a single big-table gather.
+
+    Measured on the v5e backend: a [B, A]-indexed gather from an [n, *]
+    HBM table costs ~0.4-0.5 ms REGARDLESS of width, and the original step
+    issued six of them (parent/child idx+logt, init, emission) — the
+    dominant per-step cost of the evolving-frontier decode.  Columns:
+    [init_logp, emission, parent_logt*D, parent_idx*D, child_logt*D,
+    child_idx*D, child_emission*D]; ids stored as floats (exact below 2^24).
+    """
+    dtype = dm.init_logp.dtype
+    D = dm.parent_idx.shape[1]
+    child_emis = dm.emission[dm.child_idx]  # [n, D]
+    cols = [
+        dm.init_logp[:, None],
+        dm.emission[:, None].astype(dtype),
+        dm.parent_logt,
+        dm.parent_idx.astype(dtype),
+        dm.child_logt,
+        dm.child_idx.astype(dtype),
+        child_emis.astype(dtype),
+    ]
+    return jnp.concatenate([jnp.asarray(c, dtype=dtype) for c in cols], axis=1)
+
+
+def _attr_cols(D: int):
+    """Column slices of the packed attribute table."""
+    return dict(
+        init=0, emis=1,
+        plogt=slice(2, 2 + D), pidx=slice(2 + D, 2 + 2 * D),
+        clogt=slice(2 + 2 * D, 2 + 3 * D), cidx=slice(2 + 3 * D, 2 + 4 * D),
+        cemis=slice(2 + 4 * D, 2 + 5 * D),
+    )
+
+
+def _gather_attrs(pk: jnp.ndarray, nodes: jnp.ndarray) -> jnp.ndarray:
+    """The per-step big gather: attrs [B, A, 2+5D] for an active set."""
+    return pk[jnp.where(nodes >= 0, nodes, 0)]
+
+
+def _onehot_slot_dot(slots: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """table[b, slots[b, k], :] via a one-hot MXU contraction (slot-space
+    take_along_axis is pathological on this backend: ~3.6 ms for [B, 384]).
+
+    slots [B, K] int32 (>= 0), table [B, A, C] -> [B, K, C]."""
+    A = table.shape[1]
+    oh = (slots[:, :, None] == jnp.arange(A, dtype=slots.dtype)[None, None, :])
+    return jax.lax.dot_general(
+        oh.astype(table.dtype), table, (((2,), (1,)), ((0,), (0,)))
+    )
+
+
 def _dedup_nodes(nodes: jnp.ndarray) -> jnp.ndarray:
     """Mark duplicate node ids (per row) as -1, PRESERVING slot order.
     nodes: [B, A] int32.
@@ -75,6 +128,115 @@ def _next_active(dm: DeviceModel, st: SState, n_top: int,
         [top_nodes, childs.reshape(childs.shape[0], -1)], axis=1
     )
     return _dedup_nodes(cand)
+
+
+_FIN_NEG = -1e30  # finite stand-in for -inf inside MXU contractions
+# (0 * -inf = nan would poison the one-hot dot)
+
+
+def _next_active_attrs(dm: DeviceModel, st: SState, attrs: jnp.ndarray,
+                       n_top: int, max_ratio=None) -> jnp.ndarray:
+    """`_next_active` reading the children of the top nodes from the carried
+    attribute block (one-hot MXU selection) instead of re-gathering the
+    child tables from HBM."""
+    D = dm.parent_idx.shape[1]
+    c = _attr_cols(D)
+    merged = _ladd3(st.m, st.i, st.d)  # [B, A]
+    merged = jnp.where(st.nodes >= 0, merged, NEG)
+    if max_ratio is not None:
+        mx = jnp.max(merged, axis=-1, keepdims=True)
+        merged = jnp.where(merged >= mx - max_ratio, merged, NEG)
+    k = min(n_top, merged.shape[1])
+    top_vals, top_slots = jax.lax.top_k(merged, k)  # [B, k]
+    clogt = attrs[..., c["clogt"]]
+    ext = jnp.concatenate(
+        [
+            st.nodes.astype(attrs.dtype)[:, :, None],
+            jnp.where(jnp.isfinite(clogt), clogt, _FIN_NEG),
+            attrs[..., c["cidx"]],
+        ],
+        axis=2,
+    )  # [B, A, 1+2D]
+    sel = _onehot_slot_dot(top_slots, ext)  # [B, k, 1+2D]
+    top_nodes = sel[..., 0].astype(jnp.int32)
+    top_nodes = jnp.where(jnp.isfinite(top_vals), top_nodes, -1)
+    child_logt = sel[..., 1 : 1 + D]
+    childs = sel[..., 1 + D :].astype(jnp.int32)
+    child_ok = (top_nodes[:, :, None] >= 0) & (child_logt > _FIN_NEG / 2)
+    childs = jnp.where(child_ok, childs, -1)
+    cand = jnp.concatenate(
+        [top_nodes, childs.reshape(childs.shape[0], -1)], axis=1
+    )
+    return _dedup_nodes(cand)
+
+
+def _s_step_attrs(dm: DeviceModel, st: SState, cur_nodes: jnp.ndarray,
+                  attrs: jnp.ndarray, x: jnp.ndarray,
+                  valid: jnp.ndarray) -> SState:
+    """`sparse._s_step` with the per-node model attributes supplied by one
+    packed gather (ref: forward.rs:276-306)."""
+    lt = dm.lt
+    D = dm.parent_idx.shape[1]
+    c = _attr_cols(D)
+    slot_ok = cur_nodes >= 0
+    par_idx = attrs[..., c["pidx"]].astype(jnp.int32)  # [B, A, D]
+    par_logt = jnp.where(slot_ok[:, :, None], attrs[..., c["plogt"]], NEG)
+    init_lp = jnp.where(slot_ok, attrs[..., c["init"]], NEG)  # [B, A]
+    emis = attrs[..., c["emis"]].astype(jnp.int32)
+    p_emit = jnp.where(emis == x[:, None], lt.match, lt.mismatch)
+
+    pre_m = _ladd3(lt.MM + st.m, lt.IM + st.i, lt.DM + st.d)
+    inner = _gather_prev(par_idx, st.nodes, pre_m)
+    from_normal = _lse_last(par_logt + inner)
+    from_begin = init_lp + _ladd(lt.MM + st.mb, lt.IM + st.ib)[:, None]
+    m_new = p_emit + _ladd(from_normal, from_begin)
+
+    pre_i = _ladd3(lt.MI + st.m, lt.II + st.i, lt.DI + st.d)
+    i_new = lt.random + _gather_self(cur_nodes, st.nodes, pre_i)
+
+    mb_new = jnp.full_like(st.mb, NEG)
+    ib_new = lt.random + _ladd(lt.MI + st.mb, lt.II + st.ib)
+
+    pre_d = _ladd(lt.MD + m_new, lt.ID + i_new)
+    fd0 = _lse_last(par_logt + _gather_prev(par_idx, cur_nodes, pre_d))
+    fd0 = _ladd(fd0, init_lp + _ladd(lt.MD + mb_new, lt.ID + ib_new)[:, None])
+    d_new = fd0
+    fdt = fd0
+    for _ in range(dm.n_max_gaps):
+        fdt = _lse_last(par_logt + lt.DD + _gather_prev(par_idx, cur_nodes, fdt))
+        d_new = _ladd(d_new, fdt)
+
+    m_new = jnp.where(slot_ok, m_new, NEG)
+    i_new = jnp.where(slot_ok, i_new, NEG)
+    d_new = jnp.where(slot_ok, d_new, NEG)
+
+    e_new = lt.end + _lse_last(_ladd3(m_new, i_new, d_new))
+
+    shift = jnp.max(m_new, axis=-1)
+    shift = jnp.where(jnp.isfinite(shift) & valid, shift, 0.0)
+    m_new = m_new - shift[:, None]
+    i_new = i_new - shift[:, None]
+    d_new = d_new - shift[:, None]
+    mb_new = mb_new - shift
+    ib_new = ib_new - shift
+    e_new = e_new - shift
+    y = shift - st.off_c
+    t = st.off + y
+    off_c = (t - st.off) - y
+    off = t
+
+    v1 = valid[:, None]
+    return SState(
+        nodes=jnp.where(v1, cur_nodes, st.nodes),
+        m=jnp.where(v1, m_new, st.m),
+        i=jnp.where(v1, i_new, st.i),
+        d=jnp.where(v1, d_new, st.d),
+        mb=jnp.where(valid, mb_new, st.mb),
+        ib=jnp.where(valid, ib_new, st.ib),
+        e=jnp.where(valid, e_new, st.e),
+        off=jnp.where(valid, off, st.off),
+        off_c=jnp.where(valid, off_c, st.off_c),
+    )
 
 
 def _initial_active(dm: DeviceModel, batch: int, n_top: int) -> jnp.ndarray:
@@ -162,16 +324,24 @@ def forward_sparse_adaptive(
     )
     st_sparse = _dense_to_sparse(dfinal, A)
 
-    # phase 2: sparse-adaptive continuation
-    def body(st, xs):
+    # phase 2: sparse-adaptive continuation.  One packed attribute gather
+    # per step (see _pack_model); children of the frontier come from the
+    # carried attribute block.
+    pk = _pack_model(dm)
+    attrs0 = _gather_attrs(pk, st_sparse.nodes)
+
+    def body(carry, xs):
+        st, attrs = carry
         x, p = xs
         valid = p < lens
-        cur = _next_active(dm, st, n_top, max_ratio)[:, :A]
-        st1 = _s_step(dm, st, cur, x, valid, renorm=True)
-        return st1, (st1.nodes, st1.m, st1.i, st1.d, st1.off)
+        cur = _next_active_attrs(dm, st, attrs, n_top, max_ratio)[:, :A]
+        attrs1 = _gather_attrs(pk, cur)
+        st1 = _s_step_attrs(dm, st, cur, attrs1, x, valid)
+        attrs1 = jnp.where(valid[:, None, None], attrs1, attrs)
+        return (st1, attrs1), (st1.nodes, st1.m, st1.i, st1.d, st1.off)
 
-    st, sparse_ys = jax.lax.scan(
-        body, st_sparse, (codes[:, W:].T, pos[W:])
+    (st, _attrs), sparse_ys = jax.lax.scan(
+        body, (st_sparse, attrs0), (codes[:, W:].T, pos[W:])
     )
     ns, ms, is_, ds, offs = [
         jnp.concatenate([a, b], axis=0) for a, b in zip(dense_ys, sparse_ys)
@@ -190,15 +360,18 @@ class BCarry(NamedTuple):
 
 
 def _b_step_sparse(dm: DeviceModel, st: BCarry, cur_nodes: jnp.ndarray,
-                   x: jnp.ndarray, valid: jnp.ndarray) -> BCarry:
+                   attrs: jnp.ndarray, x: jnp.ndarray,
+                   valid: jnp.ndarray) -> BCarry:
     """Backward step restricted to forward's active cells
-    (ref: backward.rs:216-261 with active nodes from forward)."""
+    (ref: backward.rs:216-261 with active nodes from forward).  Child
+    adjacency/emission come from one packed attribute gather."""
     lt = dm.lt
+    D = dm.parent_idx.shape[1]
+    c = _attr_cols(D)
     slot_ok = cur_nodes >= 0
-    safe = jnp.where(slot_ok, cur_nodes, 0)
-    child_idx = dm.child_idx[safe]  # [B, A, D]
-    child_logt = jnp.where(slot_ok[:, :, None], dm.child_logt[safe], NEG)
-    emis_child = dm.emission[jnp.where(child_idx >= 0, child_idx, 0)]
+    child_idx = attrs[..., c["cidx"]].astype(jnp.int32)  # [B, A, D]
+    child_logt = jnp.where(slot_ok[:, :, None], attrs[..., c["clogt"]], NEG)
+    emis_child = attrs[..., c["cemis"]].astype(jnp.int32)
     p_emit_child = jnp.where(emis_child == x[:, None, None], lt.match, lt.mismatch)
 
     bm_next = _gather_prev(child_idx, st.nodes, st.m)  # [B, A, D]
@@ -293,6 +466,7 @@ def _decode_mappings_from_forward(
     )
 
     pos = jnp.arange(L, dtype=lens.dtype)
+    pk = _pack_model(dm)
 
     def body(carry, xs):
         bst, _ = carry
@@ -306,7 +480,9 @@ def _decode_mappings_from_forward(
         cur_nodes = jnp.take_along_axis(
             f.nodes, i_f[None, :, None], axis=0
         )[0]
-        bst1 = _b_step_sparse(dm, bst, cur_nodes, x, valid)
+        bst1 = _b_step_sparse(
+            dm, bst, cur_nodes, _gather_attrs(pk, cur_nodes), x, valid
+        )
         # S[i] = F[i] * B[i] / P on these cells
         fm = jnp.take_along_axis(f.m, i_f[None, :, None], axis=0)[0]
         fi = jnp.take_along_axis(f.i, i_f[None, :, None], axis=0)[0]
@@ -412,11 +588,12 @@ def forward_mapped_tables(
         e=jnp.full((B,), NEG, dtype=dtype), off=z, off_c=z,
     )
     pos = jnp.arange(L, dtype=lens.dtype)
+    pk = _pack_model(dm)
 
     def body(st, xs):
         x, nodes_t, p = xs
         valid = p < lens
-        st1 = _s_step(dm, st, nodes_t, x, valid, renorm=True)
+        st1 = _s_step_attrs(dm, st, nodes_t, _gather_attrs(pk, nodes_t), x, valid)
         return st1, (st1.nodes, st1.m, st1.i, st1.d, st1.off)
 
     st, (ns, ms, is_, ds, offs) = jax.lax.scan(
