@@ -177,55 +177,60 @@ def to_rescue_neighbors(
     sort_by_freq: bool = True,
 ) -> List[Tuple[List[int], UpdateInfo]]:
     """For each 0x compact edge, find the best up-cycles through it in the
-    V4-MSE residual graph (ref: neighbors.rs:239-409)."""
+    V4-MSE residual graph (ref: neighbors.rs:239-409).
+
+    The MSE network and its residual graph depend only on the
+    ``not_make_new_zero_edge`` flag, not on the rescued edge — they are
+    built ONCE per sweep and shared across all zero edges (the reference
+    rebuilds per edge but fans out with rayon, neighbors.rs:255-269; at
+    production compact sizes the serial per-edge rebuild cost 46 s/sweep)."""
+    zero_edges = [
+        e for e in range(dbg.n_edges_compact())
+        if dbg.copy_num_of_edge_in_compact(e) == 0
+    ]
+    if not zero_edges:
+        return []
+    copy_nums = dbg.get_copy_nums()
+    ctx = {}
+    for nz in (True, False):
+        net = mse_network_from_freqs(
+            dbg, node_freqs, coverage,
+            terminal_count="disconnect",
+            not_make_new_zero_edge=nz,
+            metric="V4",
+        )
+        # the disconnect-split may have added nodes but adds no edges, so
+        # the flow vector over original compact edges matches the network
+        rg = flow_to_residue_convex(net, copy_nums)
+        forced_of = {}
+        for re_idx, _s, _t, r in rg.edges():
+            if r.direction == UP and r.target not in forced_of:
+                forced_of[r.target] = re_idx
+        ctx[nz] = (rg, forced_of)
+
     out = []
-    for e in range(dbg.n_edges_compact()):
-        if dbg.copy_num_of_edge_in_compact(e) == 0:
-            out.extend(
-                _rescue_for_edge_merged(
-                    dbg, e, node_freqs, coverage, k_non_zero, k_zero,
-                    weighted_by_copy_num, k_total, sort_by_freq,
-                )
-            )
+    for e in zero_edges:
+        a = _rescue_for_edge(
+            dbg, e, copy_nums, ctx[True], k_non_zero, True,
+            weighted_by_copy_num,
+        )
+        b = _rescue_for_edge(
+            dbg, e, copy_nums, ctx[False], k_zero, False,
+            weighted_by_copy_num,
+        )
+        merged = a + b
+        if sort_by_freq:
+            merged.sort(key=lambda t: t[1].meta.get("freq", 0.0))
+        out.extend(merged[:k_total])
     return out
 
 
-def _rescue_for_edge_merged(
-    dbg, edge, node_freqs, coverage, k_non_zero, k_zero,
-    weighted_by_copy_num, k_total, sort_by_freq,
-):
-    a = _rescue_for_edge(
-        dbg, edge, node_freqs, coverage, k_non_zero, True, weighted_by_copy_num
-    )
-    b = _rescue_for_edge(
-        dbg, edge, node_freqs, coverage, k_zero, False, weighted_by_copy_num
-    )
-    merged = a + b
-    if sort_by_freq:
-        merged.sort(key=lambda t: t[1].meta.get("freq", 0.0))
-    return merged[:k_total]
-
-
 def _rescue_for_edge(
-    dbg, edge, node_freqs, coverage, k, not_make_new_zero_edge, weighted_by_copy_num
+    dbg, edge, copy_nums, ctx, k, not_make_new_zero_edge, weighted_by_copy_num
 ):
     """(ref: neighbors.rs:330-409)"""
-    net = mse_network_from_freqs(
-        dbg, node_freqs, coverage,
-        terminal_count="disconnect",
-        not_make_new_zero_edge=not_make_new_zero_edge,
-        metric="V4",
-    )
-    copy_nums = dbg.get_copy_nums()
-    # the disconnect-split may have added nodes but adds no edges, so the
-    # flow vector over original compact edges matches the network edges
-    rg = flow_to_residue_convex(net, copy_nums)
-
-    forced = None
-    for re_idx, _s, _t, r in rg.edges():
-        if r.target == edge and r.direction == UP:
-            forced = re_idx
-            break
+    rg, forced_of = ctx
+    forced = forced_of.get(edge)
     if forced is None:
         return []
     v, w = rg.edge_endpoints(forced)
