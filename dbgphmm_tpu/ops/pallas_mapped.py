@@ -602,6 +602,9 @@ def _make_kernel_log_packed(TL: int, D: int, n_max_gaps: int, L: int,
     PA = P * A
     PNC = P * NC
     LOW = -3.0e38  # below any real value; for segment-masked maxima
+    VREG = 128
+    assert NC % VREG == 0, "nc_pad must be a multiple of 128"
+    NCC = NC // VREG  # eff table rides as [NCC, VREG] chunks per candidate
 
     def kernel(lt_ref, eff_ref, linv_ref, lens_ref, codes_ref, emis_ref,
                numce_ref, selfp_ref, prevp_ref, curp_ref, dence_ref, out_ref,
@@ -643,32 +646,27 @@ def _make_kernel_log_packed(TL: int, D: int, n_max_gaps: int, L: int,
         # Mosaic's tpu.dynamic_gather operates within a SINGLE 128-lane vreg:
         # both the table and the index vector of one gather must be <= 128
         # lanes.  Every gather below respects that — per-candidate eff rows
-        # are sliced to [1, NC<=128] chunks, DP tables are [B, PA<=128].
-        VREG = 128
+        # ride as [NCC, VREG] chunks indexed by LEADING dims (a lane-offset
+        # slice / roll of a >128-lane row compiles to tpu.concatenate of
+        # offset slices, which Mosaic rejects: "Input offsets outside of the
+        # first tile", hit at production NC=2048), DP tables are [B, PA<=128].
 
-        def gather_row(row, idx):
-            """row [W0] 1D table values (W0 a multiple of VREG or < VREG),
-            idx [B, Wi<=VREG] in [0, W0) -> [B, Wi].  Chunks the table into
-            VREG-lane pieces (lane-rotated to offset 0 — offset slices have
-            no broadcastable layout) and selects the in-range piece."""
-            W0 = row.shape[0]
+        def gather_row(c_idx, idx):
+            """idx [B, Wi<=VREG] compact-edge ids in [0, NC) -> eff values
+            [B, Wi] for candidate ``c_idx``.  Loops the NCC chunks of the
+            candidate's eff row (each a lane-offset-0 [VREG] vector) and
+            selects the in-range piece per index."""
             Wi = idx.shape[1]
-            w_pad = min(VREG, max(W0, Wi))
-            if Wi < w_pad:
+            if Wi < VREG:
                 idx = jnp.concatenate(
-                    [idx, jnp.zeros((B, w_pad - Wi), dtype=idx.dtype)], axis=1
+                    [idx, jnp.zeros((B, VREG - Wi), dtype=idx.dtype)], axis=1
                 )
-            out = jnp.zeros((B, w_pad), dtype=row.dtype)
-            for base in range(0, W0, VREG):
-                w = min(VREG, W0 - base)
-                chunk = jnp.roll(row, -base)[:w] if base else row[:w]
-                if w < w_pad:
-                    chunk = jnp.concatenate(
-                        [chunk, jnp.zeros((w_pad - w,), dtype=row.dtype)]
-                    )
-                tab = jnp.broadcast_to(chunk[None, :], (B, w_pad))
-                local = idx - base
-                in_rng = (local >= 0) & (local < w)
+            out = jnp.zeros((B, VREG), dtype=jnp.float32)
+            for kk in range(NCC):
+                chunk = eff_ref[0, c_idx, kk]  # [VREG], lane offset 0
+                tab = jnp.broadcast_to(chunk[None, :], (B, VREG))
+                local = idx - kk * VREG
+                in_rng = (local >= 0) & (local < VREG)
                 safe = jnp.where(in_rng, local, 0)
                 g = jnp.take_along_axis(tab, safe, axis=1)
                 out = jnp.where(in_rng, g, out)
@@ -737,10 +735,9 @@ def _make_kernel_log_packed(TL: int, D: int, n_max_gaps: int, L: int,
                 # lane offset stays 0 — offset slices break broadcasts)
                 num_parts, den_parts = [], []
                 for p in range(P):
-                    eff_p = eff_ref[0, cl * P + p]  # [NC] 1D
                     cols = []
                     for grp in ce_groups:
-                        g = gather_row(eff_p, grp)
+                        g = gather_row(cl * P + p, grp)
                         for ci in range(g.shape[1] // A):
                             cols.append(g[:, ci * A : (ci + 1) * A])
                     num_parts.append(cols[0])  # [B, A]
@@ -895,10 +892,15 @@ def pallas_mapped_scores_packed(
     L, D, B, A = prevp.shape
     NC = eff.shape[2]
     PA = P * A
+    VREG = 128
+    NCC = NC // VREG
     assert L % TL == 0
     kernel = _make_kernel_log_packed(
         TL, D, n_max_gaps, L, P, CL, A, NC, B, renorm_every=renorm_every
     )
+    # eff rides as [NCC, VREG] chunks per candidate so the kernel can index
+    # chunks by leading dims (no lane-offset slicing of >128-lane rows)
+    eff = eff.reshape(G, CL * P, NCC, VREG)
 
     grid = (G, L // TL)
     bs = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -907,7 +909,7 @@ def pallas_mapped_scores_packed(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 13), lambda g, l: (0, 0), memory_space=pltpu.SMEM),
-            bs((1, CL * P, NC), lambda g, l: (g, 0, 0)),
+            bs((1, CL * P, NCC, VREG), lambda g, l: (g, 0, 0, 0)),
             bs((1, CL, PA), lambda g, l: (g, 0, 0)),
             bs((1, B), lambda g, l: (0, 0)),
             bs((TL, B), lambda g, l: (l, 0)),

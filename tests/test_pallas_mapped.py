@@ -249,3 +249,110 @@ def test_packed_scorer_matches_log_scorer(setup):
         outs["packed"][0], outs["log"][0], atol=1e-2, rtol=1e-6
     )
     assert (outs["packed"][1] == outs["log"][1]).all()
+
+
+def test_packed_kernel_full_lane_pack_p8(setup):
+    """The production A=16 -> P=8 lane-pack configuration (ADVICE r2: never
+    exercised in CI) matches the log-space kernel."""
+    from dbgphmm_tpu.ops.pallas_mapped import (
+        pack_eff_tables,
+        pallas_mapped_scores_packed,
+    )
+
+    dbg, params, tpl, pos, codes, lens, candidates = setup
+    cands = candidates + [[0] * dbg.n_edges_compact()]
+    streams = build_streams(tpl, pos, codes, lens, dbg)
+    A = streams.emis.shape[2]
+    assert A == 16, "fixture should bucket to the production width 16"
+    eff0, invt0 = eff_tables(streams, cands)
+    dm32 = to_device(tpl.model_for(cands[0]), dtype=jnp.float32)
+    ltv = lin_params_vector(dm32)
+    args = (
+        jnp.asarray(streams.lens), jnp.asarray(streams.codes),
+        jnp.asarray(streams.emis), jnp.asarray(streams.numce),
+        jnp.asarray(streams.selfp), jnp.asarray(streams.prevp),
+        jnp.asarray(streams.curp), jnp.asarray(streams.dence),
+    )
+    ref = np.asarray(
+        pallas_mapped_scores(
+            jnp.asarray(eff0), jnp.asarray(invt0), *args, ltv,
+            n_max_gaps=params.n_max_gaps, TL=8, interpret=True, space="log",
+        )
+    )
+    C, B = len(cands), codes.shape[0]
+    for P, CL, RN in [(8, 1, 1), (8, 2, 2)]:
+        eff, linv, _cp = pack_eff_tables(streams, cands, P, CL, A)
+        out = np.asarray(
+            pallas_mapped_scores_packed(
+                jnp.asarray(eff), jnp.asarray(linv), *args, ltv,
+                n_max_gaps=params.n_max_gaps, TL=8, P=P, CL=CL,
+                interpret=True, renorm_every=RN,
+            )
+        )
+        a, b = out[:C, :B], ref[:C, :B]
+        both_inf = np.isneginf(a) & np.isneginf(b)
+        assert not (np.isneginf(a) ^ np.isneginf(b)).any(), (P, CL)
+        diff = np.where(both_inf, 0.0, np.abs(a - b))
+        assert diff.max() < 1e-3, (P, CL, RN, diff.max())
+
+
+def test_packed_kernel_multi_chunk_eff_table(setup):
+    """NC > 128 rides as [NCC, 128] eff chunks (production compact graphs
+    reach NC=2048; the old >128-lane row path hit a Mosaic
+    'offsets outside the first tile' compile error on chip).  Shift every
+    compact-edge id by 128 so REAL values live in chunk 1 and the sentinel
+    in chunk 2, and check scores are unchanged."""
+    from dbgphmm_tpu.ops.pallas_mapped import (
+        pack_eff_tables,
+        pallas_mapped_scores_packed,
+    )
+
+    dbg, params, tpl, pos, codes, lens, candidates = setup
+    cands = candidates + [[0] * dbg.n_edges_compact()]
+    streams = build_streams(tpl, pos, codes, lens, dbg)
+    A = streams.emis.shape[2]
+    assert streams.nc_pad == 128
+    SENT_OLD, NC_NEW = streams.nc_pad - 1, 384
+    SENT_NEW = NC_NEW - 1
+
+    def shift_ce(arr):
+        return np.where(arr == SENT_OLD, SENT_NEW, arr + 128).astype(np.int32)
+
+    el = np.zeros(NC_NEW, dtype=np.float32)
+    el[128 : 128 + streams.nc_pad] = streams.emittable_len
+    shifted = streams._replace(
+        numce=shift_ce(streams.numce), dence=shift_ce(streams.dence),
+        nc_pad=NC_NEW, emittable_len=el,
+    )
+    cands_shifted = [[0] * 128 + list(cn) for cn in cands]
+
+    eff0, invt0 = eff_tables(streams, cands)
+    dm32 = to_device(tpl.model_for(cands[0]), dtype=jnp.float32)
+    ltv = lin_params_vector(dm32)
+    args_of = lambda s: (
+        jnp.asarray(s.lens), jnp.asarray(s.codes),
+        jnp.asarray(s.emis), jnp.asarray(s.numce),
+        jnp.asarray(s.selfp), jnp.asarray(s.prevp),
+        jnp.asarray(s.curp), jnp.asarray(s.dence),
+    )
+    ref = np.asarray(
+        pallas_mapped_scores(
+            jnp.asarray(eff0), jnp.asarray(invt0), *args_of(streams), ltv,
+            n_max_gaps=params.n_max_gaps, TL=8, interpret=True, space="log",
+        )
+    )
+    C, B = len(cands), codes.shape[0]
+    for P, CL in [(1, 2), (2, 2), (8, 1)]:
+        eff, linv, _cp = pack_eff_tables(shifted, cands_shifted, P, CL, A)
+        out = np.asarray(
+            pallas_mapped_scores_packed(
+                jnp.asarray(eff), jnp.asarray(linv), *args_of(shifted), ltv,
+                n_max_gaps=params.n_max_gaps, TL=8, P=P, CL=CL,
+                interpret=True, renorm_every=2,
+            )
+        )
+        a, b = out[:C, :B], ref[:C, :B]
+        both_inf = np.isneginf(a) & np.isneginf(b)
+        assert not (np.isneginf(a) ^ np.isneginf(b)).any(), (P, CL)
+        diff = np.where(both_inf, 0.0, np.abs(a - b))
+        assert diff.max() < 1e-3, (P, CL, diff.max())
