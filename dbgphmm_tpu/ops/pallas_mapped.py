@@ -609,7 +609,7 @@ def _make_kernel_log_packed(TL: int, D: int, n_max_gaps: int, L: int,
     def kernel(lt_ref, eff_ref, linv_ref, lens_ref, codes_ref, emis_ref,
                numce_ref, selfp_ref, prevp_ref, curp_ref, dence_ref, out_ref,
                m_ref, i_ref, d_ref, beg_ref):
-        l_idx = pl.program_id(1)
+        l_idx = pl.program_id(2)
         (pMM, pIM, pDM, pMI, pII, pDI, pMD, pID, pDD,
          p_match, p_mismatch, p_random, p_end) = [
             lt_ref[0, i] for i in range(13)
@@ -631,7 +631,7 @@ def _make_kernel_log_packed(TL: int, D: int, n_max_gaps: int, L: int,
             beg_ref[:, 2] = jnp.zeros_like(beg_ref[:, 2])  # off = 0
             beg_ref[:, 3] = jnp.zeros_like(beg_ref[:, 3])  # off_c = 0
 
-        lens = lens_ref[0]  # [B]
+        lens = lens_ref[0, 0]  # [B] (lens ride as [RB, 1, B_blk])
         seg = jax.lax.broadcasted_iota(jnp.int32, (B, PA), 1) // A  # [B, PA]
 
         def pack_slots(idx):
@@ -700,7 +700,7 @@ def _make_kernel_log_packed(TL: int, D: int, n_max_gaps: int, L: int,
             return out
 
         for t in range(TL):
-            x = codes_ref[t]  # [B]
+            x = codes_ref[t, 0, 0]  # [B] (codes ride as [L, RB, 1, B_blk])
             step = l_idx * TL + t
             valid = (step < lens)
 
@@ -895,46 +895,72 @@ def pallas_mapped_scores_packed(
     VREG = 128
     NCC = NC // VREG
     assert L % TL == 0
+    # read-block the grid so streamed VMEM blocks stay bounded at wide A.
+    # Scoped-vmem model (calibrated on the measured 18.96M OOM at
+    # TL=8/B=104/A=128/D=3/CL=8: double-buffered stream blocks + DP scratch
+    # + ~1.4x stack temporaries vs the 16M limit):
+    per_read = (2 * 3 * (1 + D) * TL * A + 7 * CL * PA) * 4  # bytes
+    B_max = max(8, int(10.5e6 / (1.44 * per_read)) // 8 * 8)
+    if B <= B_max:
+        RB, B_blk = 1, B
+    else:
+        RB = -(-B // B_max)
+        B_blk = -(-(-(-B // RB)) // 8) * 8  # ceil(B/RB) to a multiple of 8
+    Bp = RB * B_blk
+    if Bp > B:
+        padB = lambda a, ax: jnp.pad(
+            a, [(0, Bp - B) if i == ax else (0, 0) for i in range(a.ndim)]
+        )
+        lens = padB(lens, 0)
+        codes = padB(codes, 1)
+        emis, numce, selfp = (padB(a, 1) for a in (emis, numce, selfp))
+        prevp, curp, dence = (padB(a, 2) for a in (prevp, curp, dence))
     kernel = _make_kernel_log_packed(
-        TL, D, n_max_gaps, L, P, CL, A, NC, B, renorm_every=renorm_every
+        TL, D, n_max_gaps, L, P, CL, A, NC, B_blk, renorm_every=renorm_every
     )
     # eff rides as [NCC, VREG] chunks per candidate so the kernel can index
     # chunks by leading dims (no lane-offset slicing of >128-lane rows)
     eff = eff.reshape(G, CL * P, NCC, VREG)
 
-    grid = (G, L // TL)
+    grid = (G, RB, L // TL)
     bs = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 13), lambda g, l: (0, 0), memory_space=pltpu.SMEM),
-            bs((1, CL * P, NCC, VREG), lambda g, l: (g, 0, 0, 0)),
-            bs((1, CL, PA), lambda g, l: (g, 0, 0)),
-            bs((1, B), lambda g, l: (0, 0)),
-            bs((TL, B), lambda g, l: (l, 0)),
-            bs((TL, B, A), lambda g, l: (l, 0, 0)),
-            bs((TL, B, A), lambda g, l: (l, 0, 0)),
-            bs((TL, B, A), lambda g, l: (l, 0, 0)),
-            bs((TL, D, B, A), lambda g, l: (l, 0, 0, 0)),
-            bs((TL, D, B, A), lambda g, l: (l, 0, 0, 0)),
-            bs((TL, D, B, A), lambda g, l: (l, 0, 0, 0)),
+            pl.BlockSpec((1, 13), lambda g, rb, l: (0, 0),
+                         memory_space=pltpu.SMEM),
+            bs((1, CL * P, NCC, VREG), lambda g, rb, l: (g, 0, 0, 0)),
+            bs((1, CL, PA), lambda g, rb, l: (g, 0, 0)),
+            bs((1, 1, B_blk), lambda g, rb, l: (rb, 0, 0)),
+            bs((TL, 1, 1, B_blk), lambda g, rb, l: (l, rb, 0, 0)),
+            bs((TL, B_blk, A), lambda g, rb, l: (l, rb, 0)),
+            bs((TL, B_blk, A), lambda g, rb, l: (l, rb, 0)),
+            bs((TL, B_blk, A), lambda g, rb, l: (l, rb, 0)),
+            bs((TL, D, B_blk, A), lambda g, rb, l: (l, 0, rb, 0)),
+            bs((TL, D, B_blk, A), lambda g, rb, l: (l, 0, rb, 0)),
+            bs((TL, D, B_blk, A), lambda g, rb, l: (l, 0, rb, 0)),
         ],
-        out_specs=bs((1, CL * P, B), lambda g, l: (g, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((G, CL * P, B), jnp.float32),
+        out_specs=bs((1, CL * P, B_blk), lambda g, rb, l: (g * RB + rb, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G * RB, CL * P, B_blk), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((CL, B, PA), jnp.float32),
-            pltpu.VMEM((CL, B, PA), jnp.float32),
-            pltpu.VMEM((CL, B, PA), jnp.float32),
-            pltpu.VMEM((CL, 4, B, PA), jnp.float32),
+            pltpu.VMEM((CL, B_blk, PA), jnp.float32),
+            pltpu.VMEM((CL, B_blk, PA), jnp.float32),
+            pltpu.VMEM((CL, B_blk, PA), jnp.float32),
+            pltpu.VMEM((CL, 4, B_blk, PA), jnp.float32),
         ],
         interpret=interpret,
     )(
-        lt_lin.reshape(1, 13), eff, linv,
-        lens.reshape(1, B).astype(jnp.int32),
-        codes, emis, numce, selfp, prevp, curp, dence,
+        lt_lin.reshape(1, 13),
+        eff, linv,
+        # RB rides as a leading dim (+ a singleton sublane) so the lane-dim
+        # blocks equal the trailing array dims exactly
+        lens.reshape(RB, 1, B_blk).astype(jnp.int32),
+        codes.reshape(L, RB, 1, B_blk),
+        emis, numce, selfp, prevp, curp, dence,
     )
-    return out.reshape(G * CL * P, B)
+    out = out.reshape(G, RB, CL * P, B_blk).transpose(0, 2, 1, 3)
+    return out.reshape(G * CL * P, Bp)[:, :B]
 
 
 def pack_eff_tables(streams: MappedStreams, copy_num_candidates, P: int,
