@@ -54,11 +54,18 @@ class Mappings:
     ``read_logps`` (optional) records each read's full log-likelihood from
     the decode that produced the mapping — used to gate hint-seeded
     regeneration across k (see ``generate_mappings(hint=...)``).
+    ``anchor_logps`` records each read's likelihood at its last
+    FROM-SCRATCH decode; it is carried unchanged across hint-seeded stages
+    so the gate has an absolute re-anchor (comparing only against the
+    previous stage's constrained value lets sub-gate degradation ratchet
+    silently across many k stages — ADVICE r2).
     """
 
     nodes: List[np.ndarray]
     logps: List[np.ndarray]
     read_logps: Optional[np.ndarray] = None
+    anchor_logps: Optional[np.ndarray] = None
+    stages_since_anchor: int = 0
 
     def n_reads(self) -> int:
         return len(self.nodes)
@@ -200,6 +207,9 @@ def generate_mappings(
                     hint.logps[c0 : c0 + read_chunk],
                     None if hint.read_logps is None
                     else hint.read_logps[c0 : c0 + read_chunk],
+                    None if hint.anchor_logps is None
+                    else hint.anchor_logps[c0 : c0 + read_chunk],
+                    hint.stages_since_anchor,
                 )
             parts.append(generate_mappings(
                 dbg, params, sub, n_active=n_active, dtype=dtype,
@@ -211,6 +221,8 @@ def generate_mappings(
             [a for p in parts for a in p.nodes],
             [a for p in parts for a in p.logps],
             np.concatenate([p.read_logps for p in parts]),
+            np.concatenate([p.anchor_logps for p in parts]),
+            max(p.stages_since_anchor for p in parts),
         )
 
     model = dbg.to_phmm(params, mode="non_zero")
@@ -273,31 +285,47 @@ def generate_mappings(
         nodes.append(mn[i, :L].copy())
         logps.append(ml[i, :L].copy())
 
-    if hint is not None:
-        # acceptance gate (ref intent: posterior/test.rs:145-237 compares
-        # extended vs fresh mapping likelihoods)
-        bad = ~np.isfinite(read_logps)
-        if hint.read_logps is not None:
-            prev = np.asarray(hint.read_logps, dtype=np.float64)
-            if prev.shape == read_logps.shape:
-                with np.errstate(invalid="ignore"):
-                    bad |= read_logps < (prev - hint_gate)
-        if bad.any():
-            idx = np.flatnonzero(bad)
-            if verbose:
-                print(f"[mappings] hint gate: regenerating {len(idx)}/"
-                      f"{n_reads} reads from scratch")
-            fresh = generate_mappings(
-                dbg, params, [reads[int(i)] for i in idx],
-                n_active=n_active, dtype=dtype, max_ratio=max_ratio,
-                pad_to=codes.shape[1],
-            )
-            for j, i in enumerate(idx):
-                nodes[int(i)] = fresh.nodes[j]
-                logps[int(i)] = fresh.logps[j]
-                read_logps[int(i)] = fresh.read_logps[j]
+    if hint is None:
+        # from-scratch decode: this IS the anchor for later hint stages
+        return Mappings(nodes, logps, read_logps, read_logps.copy(), 0)
 
-    return Mappings(nodes, logps, read_logps)
+    # acceptance gate (ref intent: posterior/test.rs:145-237 compares
+    # extended vs fresh mapping likelihoods).  Two checks: per-stage drop
+    # vs the previous constrained value, and TOTAL drop vs the last
+    # from-scratch decode (anchor) — without the anchor, sub-gate
+    # degradation ratchets silently across many k stages (ADVICE r2).
+    anchor = hint.anchor_logps
+    if anchor is None:
+        anchor = hint.read_logps
+    bad = ~np.isfinite(read_logps)
+    for ref_lp in (hint.read_logps, anchor):
+        if ref_lp is not None:
+            ref_lp = np.asarray(ref_lp, dtype=np.float64)
+            if ref_lp.shape == read_logps.shape:
+                with np.errstate(invalid="ignore"):
+                    bad |= read_logps < (ref_lp - hint_gate)
+    anchor_out = (np.asarray(anchor, dtype=np.float64).copy()
+                  if anchor is not None and
+                  np.shape(anchor) == read_logps.shape
+                  else read_logps.copy())
+    if bad.any():
+        idx = np.flatnonzero(bad)
+        if verbose:
+            print(f"[mappings] hint gate: regenerating {len(idx)}/"
+                  f"{n_reads} reads from scratch")
+        fresh = generate_mappings(
+            dbg, params, [reads[int(i)] for i in idx],
+            n_active=n_active, dtype=dtype, max_ratio=max_ratio,
+            pad_to=codes.shape[1],
+        )
+        for j, i in enumerate(idx):
+            nodes[int(i)] = fresh.nodes[j]
+            logps[int(i)] = fresh.logps[j]
+            read_logps[int(i)] = fresh.read_logps[j]
+            anchor_out[int(i)] = fresh.read_logps[j]  # re-anchored
+
+    return Mappings(nodes, logps, read_logps, anchor_out,
+                    hint.stages_since_anchor + 1)
 
 
 # -- score --------------------------------------------------------------------
@@ -757,6 +785,8 @@ def infer_posterior_by_extension(
                 maps2,
                 [np.zeros(a.shape) for a in maps2],
                 mappings.read_logps,
+                mappings.anchor_logps,
+                mappings.stages_since_anchor,
             )
         mappings = generate_mappings(
             dbg, param_error, reads, dtype=dtype, mesh=mesh, hint=hint_m,

@@ -215,3 +215,52 @@ def test_generate_mappings_good_hint_accepted():
     for a, b in zip(refined.nodes, fresh.nodes):
         # same top-1 node at every position
         assert np.array_equal(a[:, 0], b[:, 0])
+
+
+def test_hint_gate_anchored_to_last_fresh_decode():
+    """Sub-gate degradation must not ratchet across stages: the gate also
+    compares against ``anchor_logps`` (the last from-scratch decode), so a
+    cumulative drop beyond the budget fires even when each single stage
+    stays under it (ADVICE r2)."""
+    from dbgphmm_tpu.multi_dbg.posterior import Mappings, generate_mappings
+
+    seq = b"TTAGGCTTCGATCGAATGCCTTAGGCTTACGTAGGAT"
+    dbg = MultiDbg.from_styled_seqs(8, [StyledSequence.linear(seq)])
+    params = PHMMParams.uniform(0.001)
+    reads = [seq[2:30], seq[5:35]]
+    fresh = generate_mappings(dbg, params, reads, n_active=8)
+    assert fresh.anchor_logps is not None
+    np.testing.assert_array_equal(fresh.anchor_logps, fresh.read_logps)
+    assert fresh.stages_since_anchor == 0
+
+    # simulate a hint whose constrained value has already drifted 2 gates
+    # below the anchor, while the per-stage check alone would pass: the
+    # previous stage's read_logps sit just above the decode's true value
+    gate = 5.0
+    drifted_prev = fresh.read_logps - 1.0       # passes per-stage check
+    anchor = fresh.read_logps + 2 * gate        # total drop > gate
+    hint = Mappings(
+        [a.copy() for a in fresh.nodes],
+        [a.copy() for a in fresh.logps],
+        drifted_prev, anchor, 3,
+    )
+    refined = generate_mappings(
+        dbg, params, reads, n_active=8, hint=hint, hint_gate=gate
+    )
+    # gate fired -> regenerated from scratch -> re-anchored at the fresh
+    # values and the stage counter reflects the hint chain
+    np.testing.assert_allclose(refined.read_logps, fresh.read_logps, atol=1e-6)
+    np.testing.assert_allclose(refined.anchor_logps, fresh.read_logps, atol=1e-6)
+    assert refined.stages_since_anchor == 4
+
+    # control: an accurate anchor does NOT fire, and is carried unchanged
+    hint_ok = Mappings(
+        [a.copy() for a in fresh.nodes],
+        [a.copy() for a in fresh.logps],
+        fresh.read_logps, fresh.read_logps.copy(), 3,
+    )
+    refined_ok = generate_mappings(
+        dbg, params, reads, n_active=8, hint=hint_ok, hint_gate=gate
+    )
+    np.testing.assert_array_equal(refined_ok.anchor_logps, fresh.read_logps)
+    assert refined_ok.stages_since_anchor == 4
