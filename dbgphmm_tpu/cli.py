@@ -149,6 +149,12 @@ def cmd_infer(args):
         # restart from a dumped .map/.mpz instead of recomputing the
         # initial mappings (ref: bin/infer.rs:44-48 --map)
         mappings = out.from_map_file(args.map_input)
+        if mappings.n_reads() != len(reads):
+            raise SystemExit(
+                f"--map {args.map_input}: {mappings.n_reads()} mapped reads "
+                f"but {len(reads)} reads in {args.read_fasta} (truncated "
+                f"dump or wrong file?)"
+            )
     _run_inference(dbg, reads, args, mappings=mappings)
 
 

@@ -177,7 +177,10 @@ def to_map_string(dbg: MultiDbg, reads, mappings) -> str:
                 f"{int(n)}:{float(lp)}"
                 for n, lp in zip(nodes_i[j][valid], logps_i[j][valid])
             )
-            lines.append(f"{i}\t{j}\t{chr(base)}\t{pairs}")
+            # never emit an empty pairs column: the reference's
+            # from_map_reader_raw unwraps it (ADVICE r2) — write a
+            # zero-weight sentinel pair instead
+            lines.append(f"{i}\t{j}\t{chr(base)}\t{pairs or '0:-inf'}")
     return "\n".join(lines) + "\n"
 
 
@@ -211,11 +214,18 @@ def from_map_file(path):
             if len(parts) > 3 and parts[3]:
                 for item in parts[3].split(","):
                     n, lp = item.split(":")
-                    pairs.append((int(n), float(lp)))
+                    lp = float(lp)
+                    if lp == float("-inf"):
+                        continue  # zero-weight sentinel (empty row)
+                    pairs.append((int(n), lp))
             per_read.setdefault(i, {})[j] = pairs
     nodes, logps = [], []
-    for i in sorted(per_read):
-        read_map = per_read[i]
+    # iterate the full index range: a read absent from a (truncated) dump
+    # must yield an EMPTY mapping, not silently shift all later reads'
+    # mappings onto the wrong reads (ADVICE r2)
+    n_total = max(per_read) + 1 if per_read else 0
+    for i in range(n_total):
+        read_map = per_read.get(i, {})
         L = max(read_map) + 1 if read_map else 0
         A = max((len(v) for v in read_map.values()), default=1)
         narr = np.full((L, max(A, 1)), -1, dtype=np.int32)

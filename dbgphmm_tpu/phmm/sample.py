@@ -33,6 +33,11 @@ class SampleProfile:
     length: int = 1000  # state count limit per read
     start_points_all: bool = False  # StartPoints::AllStartPoints (full length)
     seed: int = 0
+    # ReadLength::Endable vs StateCount (sample.rs:117-133): only Endable
+    # lets p_end terminate reads early; the reference's e2e profiles all use
+    # StateCount/EmitCount (endable=False), otherwise ~1-exp(-L*p_end) of
+    # long reads end early and skew the length distribution (ADVICE r2)
+    endable: bool = False
 
 
 def _sample_read_from_hap(
@@ -401,7 +406,7 @@ def sample_positioned_reads_phmm(
             strand = int(rng.integers(0, strands))
             start_node = meta.heads[hap_i * strands + strand]
         h = sample_history(
-            model, rng, max_states=profile.length, endable=True,
+            model, rng, max_states=profile.length, endable=profile.endable,
             start_node=start_node,
         )
         return history_to_positioned_read(h, meta)
