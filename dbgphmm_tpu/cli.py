@@ -497,6 +497,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--cpu", action="store_true", help="force JAX CPU backend")
     p.add_argument(
+        "--dist", default=None, metavar="ADDR:PORT,N,I",
+        help="multi-host launch: jax.distributed coordinator address, total"
+             " process count, and this process's id (TPU pods can pass"
+             " ',,': all three auto-detect). Combine with --mesh to span"
+             " every host's devices; reads shard across hosts over DCN.",
+    )
+    p.add_argument(
         "--mesh", default=None, metavar="CxR",
         help="shard over a device mesh: 'CxR' (candidates x reads, e.g. 2x4)"
              " or a device count N (reads-sharded 1xN); replaces the"
@@ -659,6 +666,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "dist", None):
+        from .parallel.multihost import initialize, parse_dist_arg
+
+        addr, n, i = (
+            (None, None, None) if args.dist.strip(",") == ""
+            else parse_dist_arg(args.dist)
+        )
+        initialize(addr, n, i)
     _setup_jax(args.cpu)
     t0 = time.time()
     print(f"# started_at={time.strftime('%Y-%m-%d %H:%M:%S')}")

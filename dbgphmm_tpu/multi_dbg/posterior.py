@@ -276,6 +276,13 @@ def generate_mappings(
             n_top=n_top, n_active=n_active, max_ratio=max_ratio,
             n_warmup=n_warmup,
         )
+    if mesh is not None:
+        from ..parallel.sharding import gather_to_host
+
+        logp, map_nodes, map_logp = (
+            gather_to_host(logp), gather_to_host(map_nodes),
+            gather_to_host(map_logp),
+        )
     read_logps = np.asarray(logp)[:n_reads].astype(np.float64)
     mn = np.asarray(map_nodes)[:n_reads]
     ml = np.asarray(map_logp)[:n_reads]

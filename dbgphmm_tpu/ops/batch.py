@@ -149,8 +149,10 @@ def candidate_log_likelihoods(
         n_read_shard = mesh.shape["reads"]
         codes = _pad_reads_axis(codes, n_read_shard, -1)
         lens = _pad_reads_axis(lens, n_read_shard, 0)
+        from ..parallel.sharding import _put_sharded, gather_to_host
+
         cand_sh = NamedSharding(mesh, P("cand"))
-        put_c = lambda arrs: jax.device_put(as_d(arrs), cand_sh)
+        put_c = lambda arrs: _put_sharded(cand_sh, as_d(arrs))
         put_r = lambda a, ax=0: put_read_sharded(mesh, a, ax, flat=False)
         base_d = put_replicated(mesh, base)
         codes_d, lens_d = put_r(codes), put_r(lens)
@@ -172,7 +174,7 @@ def candidate_log_likelihoods(
                 base_d, put_c(init), put_c(plogt), put_c(clogt),
                 codes_d, lens_d,
             )
-        return np.asarray(per_cand, dtype=np.float64)[:C]
+        return gather_to_host(per_cand).astype(np.float64)[:C]
 
     if positions is not None:
         per_read = _scores_vmapped_mapped_pos(

@@ -1250,6 +1250,10 @@ class PallasMappedScorer:
                 if self.mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as Pt
 
+                    from ..parallel.sharding import (
+                        _put_sharded, gather_to_host,
+                    )
+
                     n_cs = self.mesh.shape["cand"]
                     # pad groups to the cand-shard count
                     G = eff.shape[0]
@@ -1262,11 +1266,11 @@ class PallasMappedScorer:
                             [linv, np.repeat(linv[:1], Gp - G, axis=0)], axis=0
                         )
                     cand_sh = NamedSharding(self.mesh, Pt("cand"))
-                    out = np.asarray(
+                    out = gather_to_host(
                         pallas_mapped_scores_packed_sharded(
                             self.mesh,
-                            jax.device_put(jnp.asarray(eff), cand_sh),
-                            jax.device_put(jnp.asarray(linv), cand_sh),
+                            _put_sharded(cand_sh, jnp.asarray(eff)),
+                            _put_sharded(cand_sh, jnp.asarray(linv)),
                             *args, self.ltv,
                             n_max_gaps=self.n_max_gaps, TL=self.TL,
                             P=P_, CL=CL, interpret=self.interpret,
@@ -1287,12 +1291,16 @@ class PallasMappedScorer:
                 if self.mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
+                    from ..parallel.sharding import (
+                        _put_sharded, gather_to_host,
+                    )
+
                     cand_sh = NamedSharding(self.mesh, P("cand"))
-                    out = np.asarray(
+                    out = gather_to_host(
                         pallas_mapped_scores_sharded(
                             self.mesh,
-                            jax.device_put(jnp.asarray(eff), cand_sh),
-                            jax.device_put(jnp.asarray(inv_total), cand_sh),
+                            _put_sharded(cand_sh, jnp.asarray(eff)),
+                            _put_sharded(cand_sh, jnp.asarray(inv_total)),
                             *args, self.ltv,
                             n_max_gaps=self.n_max_gaps, TL=self.TL,
                             interpret=self.interpret, space=self.space,

@@ -44,17 +44,42 @@ def mesh_read_axis_size(mesh: Mesh, flat: bool = False) -> int:
     return mesh.shape["reads"]
 
 
+def _put_sharded(sharding, arr):
+    """device_put that also works on a multi-process (multi-host) mesh:
+    every host passes the full logical array and materializes only its
+    addressable shards via the callback path."""
+    if jax.process_count() > 1:
+        a = np.asarray(arr)
+        return jax.make_array_from_callback(
+            a.shape, sharding, lambda idx: a[idx]
+        )
+    return jax.device_put(jnp.asarray(arr), sharding)
+
+
 def put_read_sharded(mesh: Mesh, arr, axis: int, flat: bool = True):
     """device_put an array sharded along its read axis (all mesh devices when
     ``flat``, else only the "reads" axis).  The array's read dimension must
     already be padded to a multiple of the shard count."""
     spec = [None] * np.asarray(arr).ndim
     spec[axis] = ("cand", "reads") if flat else "reads"
-    return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P(*spec)))
+    return _put_sharded(NamedSharding(mesh, P(*spec)), arr)
 
 
 def put_replicated(mesh: Mesh, tree):
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    repl = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(lambda a: _put_sharded(repl, a), tree)
+    return jax.device_put(tree, repl)
+
+
+def gather_to_host(x) -> np.ndarray:
+    """np.asarray for possibly-multi-host-sharded outputs: allgathers the
+    non-addressable shards over DCN first (no-op single-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def _pad_to_multiple(arr: np.ndarray, m: int, axis: int, fill):
