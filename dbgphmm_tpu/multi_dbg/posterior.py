@@ -146,6 +146,10 @@ def _pad_hint_nodes(hint: Mappings, L: int, cap: int) -> np.ndarray:
 MAPPING_READ_CHUNK = 160  # decode stores O(L * B * A) per-step tables on
 # device; chunk the read batch so the footprint stays bounded at
 # production read counts (KIR class: 500+ reads x 10kb would need ~17GB)
+FRONTIER_READ_CHUNK = 384  # the >32k frontier decode compact-stores
+# [L, B, K<=128] tables in bf16 (~10B/cell), so its chunk can be ~2.4x
+# bigger — throughput there is bound by the per-scan-step backend floor,
+# which only batch size amortizes (docs/PERF_NOTES round 3)
 
 
 def generate_mappings(
@@ -194,6 +198,9 @@ def generate_mappings(
     # chunk large read batches: the decode stores per-step tables on device;
     # a shared pad_to keeps chunk shapes identical (one compile, not one
     # per chunk)
+    if (read_chunk == MAPPING_READ_CHUNK and hint is None
+            and dbg.n_edges_full() > DENSE_COMPUTE_MAX_NODES):
+        read_chunk = FRONTIER_READ_CHUNK  # compact-stored path (see above)
     if read_chunk and len(reads) > read_chunk:
         reads_l = list(reads)
         L_max = max(len(r) for r in reads_l)
@@ -264,6 +271,7 @@ def generate_mappings(
         from ..ops.adaptive import mappings_sparse_adaptive
 
         n = dbg.n_edges_full()
+        stored_k, store_bf16 = None, False
         if n <= DENSE_COMPUTE_MAX_NODES:
             # dense-compute / compact-store: exact forward, ~256-cell storage
             # (the kernel's table width is n_top * (D + 1))
@@ -271,10 +279,17 @@ def generate_mappings(
             n_top, n_warmup = max(40, 256 // (D + 1)), int(codes.shape[1])
         else:
             n_top, n_warmup = max(ADAPTIVE_FRONTIER_TOP, -(-n_active // 2)), 16
+            # frontier regime: trim stored tables to the decode width and
+            # cast to bf16 — the memory lever that lets the read batch
+            # amortize the per-scan-step backend floor (PERF_NOTES r3)
+            stored_k = max(n_active, ADAPTIVE_FRONTIER_TOP)
+            import jax.numpy as _jnp
+
+            store_bf16 = dtype == _jnp.float32
         logp, map_nodes, map_logp = mappings_sparse_adaptive(
             dm, codes_d, lens_d,
             n_top=n_top, n_active=n_active, max_ratio=max_ratio,
-            n_warmup=n_warmup,
+            n_warmup=n_warmup, stored_k=stored_k, store_bf16=store_bf16,
         )
     if mesh is not None:
         from ..parallel.sharding import gather_to_host

@@ -275,15 +275,19 @@ def _dense_to_sparse(fstate, A: int) -> SState:
 
 
 class AdaptiveTables(NamedTuple):
-    nodes: jnp.ndarray  # [L, B, A]
-    m: jnp.ndarray  # [L, B, A]
+    nodes: jnp.ndarray  # [L, B, K]
+    m: jnp.ndarray  # [L, B, K] (possibly a reduced storage dtype)
     i: jnp.ndarray
     d: jnp.ndarray
     off: jnp.ndarray  # [L, B]
     e: jnp.ndarray  # [B] final score (with offset applied)
 
 
-@functools.partial(jax.jit, static_argnames=("n_top", "n_warmup", "max_ratio"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_top", "n_warmup", "max_ratio", "stored_k",
+                     "store_bf16"),
+)
 def forward_sparse_adaptive(
     dm: DeviceModel,
     codes: jnp.ndarray,
@@ -291,6 +295,8 @@ def forward_sparse_adaptive(
     n_top: int = 40,
     n_warmup: int = 16,
     max_ratio: float = None,
+    stored_k: int = None,
+    store_bf16: bool = False,
 ) -> AdaptiveTables:
     """Sparse-adaptive forward storing per-step active tables.
 
@@ -298,7 +304,17 @@ def forward_sparse_adaptive(
     table to the top active set and continuing sparsely — the analog of the
     reference's dense warmup region with adaptive early-switch
     (ref: forward.rs:119-138; params.rs n_warmup).  Stored per-step tables
-    are always the compacted top-A view.
+    are the compacted top-A view.
+
+    **Compact storage** (the decode's memory = batch-size lever): the scan
+    CARRY always keeps the full A = n_top*(D+1) active set (recursion
+    exactness unchanged), but the *stored* per-step tables can be trimmed
+    to the ``stored_k`` top cells by forward mass and cast to bf16
+    (``store_bf16``).  Stored tables only feed the backward-by-forward
+    S-table decode (active-set selection); the read log-likelihood comes
+    from the carry and is unaffected.  [L,B,A]x16B -> [L,B,K]x10B lets the
+    read batch B grow ~2-5x against the same HBM, amortizing the ~0.5ms
+    per-scan-step backend floor (docs/PERF_NOTES round 3 bound analysis).
     """
     from .forward import _f_init, _f_step
 
@@ -308,6 +324,17 @@ def forward_sparse_adaptive(
     dtype = dm.init_logp.dtype
     W = min(n_warmup, L)
     pos = jnp.arange(L, dtype=lens.dtype)
+    K = A if stored_k is None else min(stored_k, A)
+    sdt = jnp.bfloat16 if store_bf16 else dtype
+
+    def emit(nodes, m, i, d, off):
+        if K < nodes.shape[1]:
+            key = jnp.where(nodes >= 0, jnp.maximum(jnp.maximum(m, i), d),
+                            NEG)
+            _, slots = jax.lax.top_k(key, K)
+            g = lambda a: jnp.take_along_axis(a, slots, axis=1)
+            nodes, m, i, d = g(nodes), g(m), g(i), g(d)
+        return (nodes, m.astype(sdt), i.astype(sdt), d.astype(sdt), off)
 
     # phase 1: dense warmup, storing compacted top-A tables
     d0 = _f_init(B, n, dtype)
@@ -317,7 +344,7 @@ def forward_sparse_adaptive(
         valid = p < lens
         st1 = _f_step(dm, st, x, valid, renorm=True)
         comp = _dense_to_sparse(st1, A)
-        return st1, (comp.nodes, comp.m, comp.i, comp.d, comp.off)
+        return st1, emit(comp.nodes, comp.m, comp.i, comp.d, comp.off)
 
     dfinal, dense_ys = jax.lax.scan(
         dense_body, d0, (codes[:, :W].T, pos[:W])
@@ -338,7 +365,7 @@ def forward_sparse_adaptive(
         attrs1 = _gather_attrs(pk, cur)
         st1 = _s_step_attrs(dm, st, cur, attrs1, x, valid)
         attrs1 = jnp.where(valid[:, None, None], attrs1, attrs)
-        return (st1, attrs1), (st1.nodes, st1.m, st1.i, st1.d, st1.off)
+        return (st1, attrs1), emit(st1.nodes, st1.m, st1.i, st1.d, st1.off)
 
     (st, _attrs), sparse_ys = jax.lax.scan(
         body, (st_sparse, attrs0), (codes[:, W:].T, pos[W:])
@@ -542,7 +569,9 @@ def _decode_mappings_from_forward(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_top", "n_active", "max_ratio", "n_warmup")
+    jax.jit,
+    static_argnames=("n_top", "n_active", "max_ratio", "n_warmup",
+                     "stored_k", "store_bf16"),
 )
 def mappings_sparse_adaptive(
     dm: DeviceModel,
@@ -552,6 +581,8 @@ def mappings_sparse_adaptive(
     n_active: int = 40,
     max_ratio: float = None,
     n_warmup: int = 16,
+    stored_k: int = None,
+    store_bf16: bool = False,
 ):
     """Sparse-adaptive forward + backward-by-forward decode.
 
@@ -559,7 +590,8 @@ def mappings_sparse_adaptive(
     (ref: freq.rs:60 run_sparse_adaptive + hint.rs:124-142)
     """
     f = forward_sparse_adaptive(
-        dm, codes, lens, n_top=n_top, max_ratio=max_ratio, n_warmup=n_warmup
+        dm, codes, lens, n_top=n_top, max_ratio=max_ratio, n_warmup=n_warmup,
+        stored_k=stored_k, store_bf16=store_bf16,
     )
     return _decode_mappings_from_forward(dm, codes, lens, f, n_active, max_ratio)
 

@@ -264,3 +264,28 @@ def test_hint_gate_anchored_to_last_fresh_decode():
     )
     np.testing.assert_array_equal(refined_ok.anchor_logps, fresh.read_logps)
     assert refined_ok.stages_since_anchor == 4
+
+
+def test_compact_stored_decode_matches_full_storage():
+    """stored_k + bf16 storage changes only the decode's cell granularity:
+    the read log-likelihood is bit-identical (it comes from the scan carry)
+    and the decoded mapping's top nodes agree with full-width f32 storage."""
+    m = linear_random_phmm(300, 7, PHMMParams.default())
+    dm = to_device(m, dtype=jnp.float32)
+    seq = generate(300, 7)
+    reads = [seq[20:220], seq[60:260], seq[0:190]]
+    codes, lens = pad_reads(reads)
+    full = mappings_sparse_adaptive(
+        dm, jnp.asarray(codes), jnp.asarray(lens), n_top=40, n_active=16
+    )
+    compact = mappings_sparse_adaptive(
+        dm, jnp.asarray(codes), jnp.asarray(lens), n_top=40, n_active=16,
+        stored_k=48, store_bf16=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full[0]), np.asarray(compact[0])
+    )  # logp from the carry: storage-invariant
+    mn_f, mn_c = np.asarray(full[1]), np.asarray(compact[1])
+    for b, L in enumerate(lens):
+        agree = np.mean(mn_f[b, :L, 0] == mn_c[b, :L, 0])
+        assert agree > 0.99, (b, agree)
