@@ -1169,7 +1169,8 @@ class PallasMappedScorer:
     def __init__(self, template, positions, codes: np.ndarray,
                  lens: np.ndarray, params, TL: int = 8, space: str = "log",
                  mesh=None, cl: int = PACKED_CL,
-                 renorm_every: int = PACKED_RENORM_EVERY):
+                 renorm_every: int = PACKED_RENORM_EVERY,
+                 read_chunk: int = None):
         self.TL = TL
         self.space = space
         self.cl = cl
@@ -1195,31 +1196,83 @@ class PallasMappedScorer:
         b_pad = 8
         if mesh is not None:
             b_pad = 8 * mesh.shape["reads"]
-        self.streams = build_streams(
-            template, positions, codes, lens, None, b_pad=b_pad
-        )
+
+        # read-chunk the stream build so the HBM stream footprint stays
+        # bounded at production read counts (KIR class: 500+ reads x 10kb
+        # at width 128 would need ~30GB of streams; ~9GB is the budget)
+        L2 = codes.shape[1]
+        A0 = positions.map_nodes.shape[2]
+        A_est = max(16, 1 << max(0, (A0 - 1)).bit_length())
+        D_est = template.parent_idx.shape[1]
+        per_read = L2 * A_est * (3 + 3 * D_est) * 4  # bytes
+        rc = read_chunk or max(b_pad, int(9e9 // per_read) // b_pad * b_pad)
+        rc = -(-rc // b_pad) * b_pad
+        chunks = []
+        for c0 in range(0, B, rc):
+            c1 = min(B, c0 + rc)
+            pos_c = MappedPositionsLike(
+                map_nodes=positions.map_nodes[c0:c1],
+                prev_pos=positions.prev_pos[c0:c1],
+                cur_pos=positions.cur_pos[c0:c1],
+                self_pos=positions.self_pos[c0:c1],
+            )
+            chunks.append(build_streams(
+                template, pos_c, codes[c0:c1], lens[c0:c1], None, b_pad=b_pad
+            ))
+        # unify the degree trim across chunks (one compile shape): pad the
+        # shallower chunks' degree columns back up with empty columns
+        d_star = max(s.prevp.shape[1] for s in chunks)
+        a_star = max(s.emis.shape[2] for s in chunks)
+        for ci, s in enumerate(chunks):
+            d_c, a_c = s.prevp.shape[1], s.emis.shape[2]
+            if d_c == d_star and a_c == a_star:
+                continue
+            SENT = s.nc_pad - 1
+            pad_d = lambda a, fill: np.concatenate(
+                [a, np.full((a.shape[0], d_star - d_c) + a.shape[2:], fill,
+                            a.dtype)], axis=1
+            ) if d_c < d_star else a
+            pad_a = lambda a, fill: np.concatenate(
+                [a, np.full(a.shape[:-1] + (a_star - a.shape[-1],), fill,
+                            a.dtype)], axis=-1
+            ) if a.shape[-1] < a_star else a
+            chunks[ci] = s._replace(
+                emis=pad_a(s.emis, 9), numce=pad_a(s.numce, SENT),
+                selfp=pad_a(s.selfp, -1),
+                prevp=pad_a(pad_d(s.prevp, -1), -1),
+                curp=pad_a(pad_d(s.curp, -1), -1),
+                dence=pad_a(pad_d(s.dence, SENT), SENT),
+            )
+        self.chunks = chunks
+        self.streams = chunks[0]
         self.ltv = lin_params_from_phmm_params(params)
         self.n_max_gaps = params.n_max_gaps
         self.n_reads = B
         self.interpret = jax.default_backend() == "cpu"
-        self._dev = None
+        self._dev = {}
 
-    def _device_args(self):
-        if self._dev is None:
-            s = self.streams
+    def _device_args(self, ci: int = 0):
+        if ci not in self._dev:
+            s = self.chunks[ci]
             arrs = (s.lens, s.codes, s.emis, s.numce, s.selfp,
                     s.prevp, s.curp, s.dence)
             if self.mesh is None:
-                self._dev = tuple(jnp.asarray(a) for a in arrs)
+                self._dev[ci] = tuple(jnp.asarray(a) for a in arrs)
             else:
                 from ..parallel.sharding import put_read_sharded
 
                 read_axes = (0, 1, 1, 1, 1, 2, 2, 2)
-                self._dev = tuple(
+                self._dev[ci] = tuple(
                     put_read_sharded(self.mesh, a, ax, flat=False)
                     for a, ax in zip(arrs, read_axes)
                 )
-        return self._dev
+            if len(self.chunks) > 1 and len(self._dev) > 2:
+                # drop older chunks' device buffers (keep HBM bounded); the
+                # host-side numpy streams stay cached
+                for k in list(self._dev):
+                    if k != ci and len(self._dev) > 2:
+                        del self._dev[k]
+        return self._dev[ci]
 
     def scores_detailed(self, candidates):
         """(sums [C], ok [C] bool): total log P(R|X_c) and whether every
@@ -1238,15 +1291,29 @@ class PallasMappedScorer:
             n_cand_shard = self.mesh.shape["cand"]
             pad = -(-pad // n_cand_shard) * n_cand_shard
         cands = list(candidates) + [candidates[0]] * (pad - C)
-        args = self._device_args()
+        per_read_chunks = [
+            self._scores_chunk(cands, ci)[:C]
+            for ci in range(len(self.chunks))
+        ]
+        per_read = np.concatenate(per_read_chunks, axis=1)[
+            :, : self.n_reads
+        ].astype(np.float64)
+        ok = np.isfinite(per_read).all(axis=1)
+        return per_read.sum(axis=1), ok
+
+    def _scores_chunk(self, cands, ci: int) -> np.ndarray:
+        """[len(cands), B_chunk] per-read log likelihoods for one read
+        chunk."""
+        args = self._device_args(ci)
+        streams = self.chunks[ci]
         # trace with x64 disabled: the CLI enables jax_enable_x64 globally,
         # but Mosaic rejects 64-bit types; every input here is already 32-bit
         with jax.enable_x64(False):
             if self.space == "packed":
-                A = self.streams.emis.shape[2]
+                A = streams.emis.shape[2]
                 P_ = max(1, 128 // A)
                 CL = self.cl
-                eff, linv, _cp = pack_eff_tables(self.streams, cands, P_, CL, A)
+                eff, linv, _cp = pack_eff_tables(streams, cands, P_, CL, A)
                 if self.mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as Pt
 
@@ -1287,7 +1354,7 @@ class PallasMappedScorer:
                         )
                     )
             else:
-                eff, inv_total = eff_tables(self.streams, cands)
+                eff, inv_total = eff_tables(streams, cands)
                 if self.mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1314,9 +1381,7 @@ class PallasMappedScorer:
                             interpret=self.interpret, space=self.space,
                         )
                     )
-        per_read = out[:C, : self.n_reads].astype(np.float64)
-        ok = np.isfinite(per_read).all(axis=1)
-        return per_read.sum(axis=1), ok
+        return out
 
     def scores(self, candidates) -> np.ndarray:
         return self.scores_detailed(candidates)[0]

@@ -356,3 +356,31 @@ def test_packed_kernel_multi_chunk_eff_table(setup):
         assert not (np.isneginf(a) ^ np.isneginf(b)).any(), (P, CL)
         diff = np.where(both_inf, 0.0, np.abs(a - b))
         assert diff.max() < 1e-3, (P, CL, diff.max())
+
+
+def test_scorer_read_chunking_matches_single_chunk(setup):
+    """Forcing a tiny read chunk (KIR-class HBM bounding) reproduces the
+    unchunked scorer exactly."""
+    from dbgphmm_tpu.ops.pallas_mapped import PallasMappedScorer
+
+    from dbgphmm_tpu.ops.pallas_mapped import MappedPositionsLike
+
+    dbg, params, tpl, pos, codes, lens, candidates = setup
+    # tile to 20 reads so an 8-read chunk splits the batch three ways
+    t = lambda a: np.concatenate([a] * 5, axis=0)
+    codes, lens = t(codes), t(lens)
+    pos = MappedPositionsLike(
+        map_nodes=t(pos.map_nodes), prev_pos=t(pos.prev_pos),
+        cur_pos=t(pos.cur_pos), self_pos=t(pos.self_pos),
+    )
+    one = PallasMappedScorer(tpl, pos, codes, lens, tpl.params, space="packed")
+    one.interpret = True
+    chunked = PallasMappedScorer(
+        tpl, pos, codes, lens, tpl.params, space="packed", read_chunk=8
+    )
+    chunked.interpret = True
+    assert len(chunked.chunks) == 3
+    s1, ok1 = one.scores_detailed(candidates)
+    s2, ok2 = chunked.scores_detailed(candidates)
+    np.testing.assert_allclose(s2, s1, atol=1e-4, rtol=1e-7)
+    assert (ok1 == ok2).all()
