@@ -1,0 +1,116 @@
+#!/bin/bash
+#
+# Simulation + external-comparison harness (ref: /root/reference/scripts/sim.sh).
+#
+# Generates the reference's production-class synthetic datasets (n4/n10
+# tandem-repeat diploids), runs the dbgphmm_tpu pipeline on them, evaluates
+# the assembly against the embedded ground truth, and — when the external
+# assemblers the reference compares against (hifiasm, LJA, verkko) are on
+# PATH — runs them on the same reads.  Tools that are absent are skipped
+# with a note instead of failing (this image ships none of them).
+#
+# Usage:
+#   scripts/sim.sh run_n4 <outdir> [H] [H0]   # one n4 config (H=div, H0=hap div)
+#   scripts/sim.sh run_all <outdir>           # the reference's full n4 sweep
+#
+# ref: sim.sh:196-228 (dataset configs), :152-163 (dbgphmm run), :83-137
+# (hifiasm/LJA/verkko + minimap2/gepard evaluation).
+
+set -u
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+PY="python"
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+export OMP_NUM_THREADS=1   # ref: README.md:95 (BLAS threading)
+
+DBG() { $PY -m dbgphmm_tpu "$@"; }
+
+have() { command -v "$1" >/dev/null 2>&1; }
+
+map_to_genome() {
+  # minimap2 PAF if available (ref: sim.sh:21-26); else our exact
+  # edit-distance evaluation stands alone
+  local GENOME=$1 ASM=$2
+  if have minimap2; then
+    minimap2 -c --cs -t4 -x asm20 "$GENOME" "$ASM"
+  else
+    echo "# minimap2 not found; skipping PAF for $ASM" >&2
+  fi
+}
+
+evaluate_asm() {
+  # exact + edit-distance evaluation against the true genome — always runs
+  local GENOME=$1 ASM=$2
+  DBG edit-dist "$GENOME" "$ASM"
+  map_to_genome "$GENOME" "$ASM" > "$ASM.paf" 2>/dev/null || true
+}
+
+run_hifiasm() {  # ref: sim.sh:83-99
+  local KEY=$1
+  have hifiasm || { echo "# hifiasm not found; skipping"; return 0; }
+  mkdir -p "$KEY/hifiasm"
+  hifiasm -o "$KEY/hifiasm/out" -t4 -f0 -i "$KEY/data.reads.fa" \
+    2> "$KEY/hifiasm/log"
+  awk '/^S/{print ">"$2; print $3}' "$KEY/hifiasm/out.bp.p_ctg.gfa" \
+    > "$KEY/hifiasm/out.fa"
+  evaluate_asm "$KEY/data.genome.fa" "$KEY/hifiasm/out.fa"
+}
+
+run_lja() {  # ref: sim.sh:101-117
+  local KEY=$1
+  have lja || { echo "# lja not found; skipping"; return 0; }
+  mkdir -p "$KEY/lja"
+  lja -o "$KEY/lja" --reads "$KEY/data.reads.fa" > "$KEY/lja/log" 2>&1
+  evaluate_asm "$KEY/data.genome.fa" "$KEY/lja/assembly.fasta"
+}
+
+run_verkko() {  # ref: sim.sh:119-135
+  local KEY=$1
+  have verkko || { echo "# verkko not found; skipping"; return 0; }
+  mkdir -p "$KEY/verkko"
+  verkko -d "$KEY/verkko" --hifi "$KEY/data.reads.fa" > "$KEY/verkko/log" 2>&1
+  evaluate_asm "$KEY/data.genome.fa" "$KEY/verkko/assembly.fasta"
+}
+
+run_dbgphmm() {  # ref: sim.sh:152-163
+  local KEY=$1 p=$2 K=${3:-10000}
+  local pz=0.99
+  local DIR="$KEY/dbgphmm"
+  mkdir -p "$DIR"
+  DBG sim-infer "$KEY/data.json" -d "$KEY/data.dbg" \
+    -o "$DIR/pz${pz}_pi${p}" -K "$K" -e "$p" -p "$p" -S 5000 -I 50 \
+    --p0 "$pz" 2>&1 | tee "$DIR/log"
+  evaluate_asm "$KEY/data.genome.fa" "$DIR/pz${pz}_pi${p}.final.euler.fa"
+}
+
+run_n4() {  # ref: sim.sh:184-214 (U=10000 N=4 E=2000 P=2, C=10 L=10000)
+  local KEY=$1 H=${2:-0.01} H0=${3:-0.0002} p=0.0003
+  mkdir -p "$KEY"
+  DBG sim-draft -k 40 -C 10 -L 10000 -p "$p" \
+    --unit-size 10000 --n-unit 4 --end-length 2000 --div-hap "$H" \
+    --div-init "$H0" -P 2 -o "$KEY/data"
+  run_hifiasm "$KEY"
+  run_lja "$KEY"
+  run_verkko "$KEY"
+  run_dbgphmm "$KEY" "$p"
+}
+
+run_n10() {  # ref: sim.sh:216-228 (U=2000 N=10)
+  local KEY=$1 H=${2:-0.01} H0=${3:-0.0002} p=0.0003
+  mkdir -p "$KEY"
+  DBG sim-draft -k 40 -C 10 -L 10000 -p "$p" \
+    --unit-size 2000 --n-unit 10 --end-length 2000 --div-hap "$H" \
+    --div-init "$H0" -P 2 -o "$KEY/data"
+  run_hifiasm "$KEY"; run_lja "$KEY"; run_verkko "$KEY"
+  run_dbgphmm "$KEY" "$p"
+}
+
+run_all() {  # ref: sim.sh run_n4 sweep
+  local OUT=$1
+  for H in 0.01 0.001 0.0001; do
+    for H0 in 0.0002 0.0001; do
+      run_n4 "$OUT/n4_p0.0003/H${H}_H0${H0}" "$H" "$H0"
+    done
+  done
+}
+
+"$@"
