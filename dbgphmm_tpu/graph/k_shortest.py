@@ -57,6 +57,51 @@ def dijkstra_path(
     return None
 
 
+_KLIB = None
+_KLIB_TRIED = False
+
+
+def _load_native():
+    """Auto-build/load the native Yen's kernel (cpp/kshortest.cpp); None if
+    the toolchain is unavailable (pure-Python fallback below)."""
+    global _KLIB, _KLIB_TRIED
+    if _KLIB_TRIED:
+        return _KLIB
+    _KLIB_TRIED = True
+    import ctypes
+    import subprocess
+    from pathlib import Path
+
+    import numpy as np
+
+    cpp = Path(__file__).resolve().parent.parent.parent / "cpp" / "kshortest.cpp"
+    so = Path(__file__).resolve().parent / "_libdbgkshort.so"
+    try:
+        if not so.exists() or so.stat().st_mtime < cpp.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", str(cpp), "-o", str(so)],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(str(so))
+        lib.dbg_k_shortest_simple_paths.restype = ctypes.c_int32
+        lib.dbg_k_shortest_simple_paths.argtypes = [
+            ctypes.c_int32, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int64),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32), ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32),
+        ]
+        _KLIB = lib
+    except Exception as e:  # pragma: no cover - toolchain issues
+        import sys
+
+        print(f"[k_shortest] native build failed, using Python: {e}",
+              file=sys.stderr)
+        _KLIB = None
+    return _KLIB
+
+
 def k_shortest_simple_path(
     graph: DiGraph,
     source: int,
@@ -64,7 +109,39 @@ def k_shortest_simple_path(
     k: int,
     edge_cost: Callable[[int], int],
 ) -> List[List[int]]:
-    """Yen's k shortest loopless paths (as edge lists)."""
+    """Yen's k shortest loopless paths (as edge lists).
+
+    Uses the native kernel (cpp/kshortest.cpp, identical tie-breaking) when
+    available — the rescue sweep runs hundreds of these per posterior
+    iteration (ref: neighbors.rs:239-409)."""
+    import numpy as np
+
+    if isinstance(edge_cost, np.ndarray):
+        cost_arr, edge_cost = edge_cost, edge_cost.__getitem__
+    else:
+        cost_arr = None
+    lib = _load_native()
+    if lib is not None:
+        n_nodes, n_edges = graph.n_nodes(), graph.n_edges()
+        src = np.asarray(graph.edge_sources, dtype=np.int32)
+        dst = np.asarray(graph.edge_targets, dtype=np.int32)
+        cost = (
+            cost_arr.astype(np.int64, copy=False)
+            if cost_arr is not None else np.fromiter(
+                (edge_cost(e) for e in range(n_edges)), dtype=np.int64,
+                count=n_edges,
+            )
+        )
+        cap = max(16, k * (n_nodes + 1))
+        out_edges = np.empty(cap, dtype=np.int32)
+        out_off = np.zeros(k + 1, dtype=np.int32)
+        n = lib.dbg_k_shortest_simple_paths(
+            n_nodes, n_edges, src, dst, cost, source, target, k,
+            out_edges, cap, out_off,
+        )
+        return [
+            out_edges[out_off[i] : out_off[i + 1]].tolist() for i in range(n)
+        ]
     first = dijkstra_path(graph, source, target, edge_cost)
     if first is None:
         return []

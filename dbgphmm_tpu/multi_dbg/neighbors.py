@@ -14,6 +14,8 @@ cycle:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+
+import numpy as np
 from typing import List, Optional, Tuple
 
 from ..flow import (
@@ -206,7 +208,26 @@ def to_rescue_neighbors(
         for re_idx, _s, _t, r in rg.edges():
             if r.direction == UP and r.target not in forced_of:
                 forced_of[r.target] = re_idx
-        ctx[nz] = (rg, forced_of)
+        # per-residual-edge base costs, shared by every zero edge (the
+        # forced edge's BIG is patched in per query)
+        targets = np.fromiter(
+            (r.target for _e, _s, _t, r in rg.edges()),
+            dtype=np.int64, count=rg.n_edges(),
+        )
+        n_bases = np.fromiter(
+            (dbg.n_bases(int(t)) for t in targets), dtype=np.int64,
+            count=len(targets),
+        )
+        copies = np.fromiter(
+            (max(dbg.copy_num_of_edge_in_compact(int(t)), 1)
+             for t in targets), dtype=np.int64, count=len(targets),
+        )
+        len_cost = n_bases // copies
+        freq_w = np.fromiter(
+            (r.weight for _e, _s, _t, r in rg.edges()),
+            dtype=np.float64, count=rg.n_edges(),
+        )
+        ctx[nz] = (rg, forced_of, len_cost, n_bases, freq_w)
 
     out = []
     for e in zero_edges:
@@ -229,40 +250,33 @@ def _rescue_for_edge(
     dbg, edge, copy_nums, ctx, k, not_make_new_zero_edge, weighted_by_copy_num
 ):
     """(ref: neighbors.rs:330-409)"""
-    rg, forced_of = ctx
+    rg, forced_of, len_cost, nk_cost, freq_w = ctx
     forced = forced_of.get(edge)
     if forced is None:
         return []
     v, w = rg.edge_endpoints(forced)
 
     BIG = 10**9
+    base = len_cost if weighted_by_copy_num else nk_cost
+    cost = base.copy()
+    cost[forced] = BIG
+    paths = k_shortest_simple_path(rg, w, v, k, cost)
 
-    def length_weight(re_idx):
-        if re_idx == forced:
-            return BIG
-        t = rg.edge(re_idx).target
-        return dbg.n_bases(t) // max(dbg.copy_num_of_edge_in_compact(t), 1)
-
-    def n_kmers_weight(re_idx):
-        if re_idx == forced:
-            return BIG
-        return dbg.n_bases(rg.edge(re_idx).target)
-
-    weight = length_weight if weighted_by_copy_num else n_kmers_weight
-    paths = k_shortest_simple_path(rg, w, v, k, weight)
-
+    lw = len_cost.copy()
+    nw = nk_cost.copy()
+    lw[forced] = nw[forced] = BIG
     out = []
     for index, path in enumerate(paths):
         cycle = [forced] + path
         if not is_edge_simple(rg, cycle):
             continue
         new_flow, update = residue_graph_cycle_to_flow(copy_nums, rg, cycle)
-        length = sum(length_weight(e) for e in cycle)
-        n_kmers = sum(n_kmers_weight(e) for e in cycle)
-        freq = sum(rg.edge(e).weight for e in cycle)
+        cyc = np.asarray(cycle, dtype=np.int64)
         info = UpdateInfo(
             [update], "rescue",
-            meta=dict(index=index, length=length, freq=freq, n_kmers=n_kmers,
+            meta=dict(index=index, length=int(lw[cyc].sum()),
+                      freq=float(freq_w[cyc].sum()),
+                      n_kmers=int(nw[cyc].sum()),
                       non_zero=not_make_new_zero_edge),
         )
         out.append((new_flow, info))

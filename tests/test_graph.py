@@ -265,3 +265,39 @@ def test_shortest_cycle():
     h.add_node(None)
     e = h.add_edge(0, 1, None)
     assert shortest_cycle(h, e) is None
+
+
+def test_native_k_shortest_matches_python():
+    """The C++ Yen's kernel reproduces the pure-Python implementation
+    exactly (same paths, same order — tie-breaking mirrored)."""
+    import random
+
+    from dbgphmm_tpu.graph import k_shortest as ks
+    from dbgphmm_tpu.graph.digraph import DiGraph
+
+    lib = ks._load_native()
+    assert lib is not None, "native kernel failed to build"
+
+    rng = random.Random(7)
+    for trial in range(25):
+        g = DiGraph()
+        n = rng.randint(4, 24)
+        for _ in range(n):
+            g.add_node()
+        n_e = rng.randint(n, 4 * n)
+        for _ in range(n_e):
+            g.add_edge(rng.randrange(n), rng.randrange(n))
+        costs = [rng.randint(0, 8) for _ in range(n_e)]
+        # a couple of BIG-cost edges like the rescue's forced edge
+        for e in rng.sample(range(n_e), min(2, n_e)):
+            costs[e] = 10**9
+        cost_fn = lambda e: costs[e]
+        s, t, k = rng.randrange(n), rng.randrange(n), rng.randint(1, 6)
+
+        native = ks.k_shortest_simple_path(g, s, t, k, cost_fn)
+        try:
+            ks._KLIB = None  # force the Python fallback
+            py = ks.k_shortest_simple_path(g, s, t, k, cost_fn)
+        finally:
+            ks._KLIB = lib
+        assert native == py, (trial, s, t, k, native, py)
