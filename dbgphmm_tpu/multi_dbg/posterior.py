@@ -628,12 +628,14 @@ def sample_posterior(
                 uniq.append((cn, info))
         if not uniq:
             return
+        t0 = time.time()
         scores = score_candidates(
             work, params, reads, [cn for cn, _i in uniq],
             genome_size_expected, genome_size_sigma, codes, lens, dtype,
             positions=positions, template=template, pallas_scorer=pallas_scorer,
             mesh=mesh,
         )
+        log(f"  scored {len(uniq)} candidates in {time.time()-t0:.1f}s")
         for (cn, info), sc in zip(uniq, scores):
             post.add(PosteriorSample(cn, sc, infos_init + [info]))
 

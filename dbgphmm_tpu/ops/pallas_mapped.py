@@ -113,8 +113,16 @@ def build_streams(
 
     emit_code = np.where(emit_ok, template.emission.astype(np.int32), 9)
 
-    def pad_BA(arr, fill):
-        out = np.full((L, Bp, A), fill, dtype=np.int32)
+    # narrow stream dtypes: slot indices fit int8 (A <= 128 -> max 127),
+    # compact-edge ids fit int16 up to nc_pad=32768; the device wrappers
+    # widen to int32 on-device.  This quarters/halves the host->device
+    # transfer, which dominates scorer setup over the remote-chip tunnel
+    # (~100 s/stage measured at production shapes).
+    slot_dt = np.int8 if A <= 128 else np.int16
+    ce_dt = np.int16 if nc_pad <= 32768 else np.int32
+
+    def pad_BA(arr, fill, dt=slot_dt):
+        out = np.full((L, Bp, A), fill, dtype=dt)
         out[:, :B, :A0] = arr
         return out
 
@@ -123,12 +131,12 @@ def build_streams(
     safe = np.where(ok, mnT, 0)
 
     emis = pad_BA(np.where(ok, emit_code[safe], 9), 9)
-    numce = pad_BA(np.where(ok, num_tab[safe], SENT), SENT)
-    selfp = pad_BA(np.swapaxes(positions.self_pos, 0, 1).astype(np.int32), -1)
+    numce = pad_BA(np.where(ok, num_tab[safe], SENT), SENT, dt=ce_dt)
+    selfp = pad_BA(np.swapaxes(positions.self_pos, 0, 1), -1)
 
-    prevp = np.full((L, D, Bp, A), -1, dtype=np.int32)
-    curp = np.full((L, D, Bp, A), -1, dtype=np.int32)
-    dence = np.full((L, D, Bp, A), SENT, dtype=np.int32)
+    prevp = np.full((L, D, Bp, A), -1, dtype=slot_dt)
+    curp = np.full((L, D, Bp, A), -1, dtype=slot_dt)
+    dence = np.full((L, D, Bp, A), SENT, dtype=ce_dt)
     ppT = np.swapaxes(positions.prev_pos, 0, 1)  # [L, B, A0, D]
     cpT = np.swapaxes(positions.cur_pos, 0, 1)
     den_g = np.where(ok[..., None], den_tab[safe], SENT)  # [L, B, A0, D]
@@ -153,7 +161,7 @@ def build_streams(
         curp = np.ascontiguousarray(curp[:, :d_used])
         dence = np.ascontiguousarray(dence[:, :d_used])
 
-    codes_T = np.full((L, Bp), -1, dtype=np.int32)
+    codes_T = np.full((L, Bp), -1, dtype=np.int8)
     codes_T[:, :B] = np.swapaxes(codes, 0, 1)
     lens_p = np.zeros(Bp, dtype=np.int32)
     lens_p[:B] = lens
@@ -895,6 +903,11 @@ def pallas_mapped_scores_packed(
     VREG = 128
     NCC = NC // VREG
     assert L % TL == 0
+    # streams travel narrow (int8/int16, see build_streams); widen on-device
+    i32 = lambda a: a.astype(jnp.int32)
+    lens, codes, emis, numce, selfp, prevp, curp, dence = (
+        i32(a) for a in (lens, codes, emis, numce, selfp, prevp, curp, dence)
+    )
     # read-block the grid so streamed VMEM blocks stay bounded at wide A.
     # Scoped-vmem model (calibrated on the measured 18.96M OOM at
     # TL=8/B=104/A=128/D=3/CL=8: double-buffered stream blocks + DP scratch
@@ -1017,6 +1030,11 @@ def pallas_mapped_scores(
     C, NC = eff.shape
     L, D, B, A = prevp.shape
     assert L % TL == 0, "L must be a multiple of TL (pad reads)"
+    # streams travel narrow (int8/int16, see build_streams); widen on-device
+    i32 = lambda a: a.astype(jnp.int32)
+    lens, codes, emis, numce, selfp, prevp, curp, dence = (
+        i32(a) for a in (lens, codes, emis, numce, selfp, prevp, curp, dence)
+    )
     make = _make_kernel_log if space == "log" else _make_kernel
     kernel = make(TL, D, n_max_gaps, L)
 
