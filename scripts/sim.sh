@@ -85,7 +85,7 @@ run_dbgphmm() {  # ref: sim.sh:152-163
 run_n4() {  # ref: sim.sh:184-214 (U=10000 N=4 E=2000 P=2, C=10 L=10000)
   local KEY=$1 H=${2:-0.01} H0=${3:-0.0002} p=0.0003
   mkdir -p "$KEY"
-  DBG sim-draft -k 40 -C 10 -L 10000 -p "$p" \
+  DBG sim-draft -k 40 -C 10 -L 10000 -p "$p" --fragment \
     --unit-size 10000 --n-unit 4 --end-length 2000 --div-hap "$H" \
     --div-init "$H0" -P 2 -o "$KEY/data"
   run_hifiasm "$KEY"
@@ -97,7 +97,7 @@ run_n4() {  # ref: sim.sh:184-214 (U=10000 N=4 E=2000 P=2, C=10 L=10000)
 run_n10() {  # ref: sim.sh:216-228 (U=2000 N=10)
   local KEY=$1 H=${2:-0.01} H0=${3:-0.0002} p=0.0003
   mkdir -p "$KEY"
-  DBG sim-draft -k 40 -C 10 -L 10000 -p "$p" \
+  DBG sim-draft -k 40 -C 10 -L 10000 -p "$p" --fragment \
     --unit-size 2000 --n-unit 10 --end-length 2000 --div-hap "$H" \
     --div-init "$H0" -P 2 -o "$KEY/data"
   run_hifiasm "$KEY"; run_lja "$KEY"; run_verkko "$KEY"
