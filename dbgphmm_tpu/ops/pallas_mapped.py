@@ -1263,6 +1263,10 @@ class PallasMappedScorer:
             )
         self.chunks = chunks
         self.streams = chunks[0]
+        # fixed candidate sub-batch (single compiled grid size; worst-case
+        # padding bounded by one sub-batch instead of next-power-of-2)
+        cg = max(1, 128 // chunks[0].emis.shape[2]) * cl
+        self.CAND_SUB = cg * -(-32 // cg)
         self.ltv = lin_params_from_phmm_params(params)
         self.n_max_gaps = params.n_max_gaps
         self.n_reads = B
@@ -1299,25 +1303,42 @@ class PallasMappedScorer:
         edges (log-space keeps them at very low finite values via the Begin
         re-entry chain) — callers must rescore ok=False candidates with the
         log-space kernel, their exact (terrible) values steer the early hill
-        climb.  Candidate count padded to power-of-2 buckets for compile
-        stability."""
+        climb.  Single-host: candidates run in FIXED-size sub-batches of
+        CAND_SUB (one compiled grid size, worst-case padding one sub-batch).
+        Mesh: padded to power-of-2 x cand-shard buckets as before."""
         C = len(candidates)
+        if self.mesh is None:
+            sub = self.CAND_SUB
+            out_rows = []
+            for c0 in range(0, C, sub):
+                part = list(candidates[c0 : c0 + sub])
+                part += [part[0]] * (sub - len(part))
+                out_rows.append(self._scores_all_chunks(part))
+            per_read = np.concatenate(out_rows, axis=0)[:C][
+                :, : self.n_reads
+            ].astype(np.float64)
+            ok = np.isfinite(per_read).all(axis=1)
+            return per_read.sum(axis=1), ok
         pad = 1
         while pad < C:
             pad *= 2
-        if self.mesh is not None:
-            n_cand_shard = self.mesh.shape["cand"]
-            pad = -(-pad // n_cand_shard) * n_cand_shard
+        n_cand_shard = self.mesh.shape["cand"]
+        pad = -(-pad // n_cand_shard) * n_cand_shard
         cands = list(candidates) + [candidates[0]] * (pad - C)
-        per_read_chunks = [
-            self._scores_chunk(cands, ci)[:C]
-            for ci in range(len(self.chunks))
-        ]
-        per_read = np.concatenate(per_read_chunks, axis=1)[
+        per_read = self._scores_all_chunks(cands)[:C][
             :, : self.n_reads
         ].astype(np.float64)
         ok = np.isfinite(per_read).all(axis=1)
         return per_read.sum(axis=1), ok
+
+    def _scores_all_chunks(self, cands) -> np.ndarray:
+        return np.concatenate(
+            [
+                self._scores_chunk(cands, ci)
+                for ci in range(len(self.chunks))
+            ],
+            axis=1,
+        )
 
     def _scores_chunk(self, cands, ci: int) -> np.ndarray:
         """[len(cands), B_chunk] per-read log likelihoods for one read
