@@ -167,8 +167,16 @@ def main():
         hint.rs:193-220 generate_mappings)."""
         from dbgphmm_tpu.ops.adaptive import mappings_sparse_adaptive
 
-        codes_d, lens_d = jnp.asarray(codes), jnp.asarray(lens)
-        kw = dict(n_top=64, n_active=64, max_ratio=30.0, n_warmup=16)
+        # decode throughput is bound by the ~0.5ms/step backend floor;
+        # compact bf16 top-K storage lets the batch amortize it (see
+        # docs/PERF_NOTES round 3) — tile the read batch to FB_B
+        FB_B = 384
+        reps = -(-FB_B // codes.shape[0])
+        codes_t = np.concatenate([codes] * reps, axis=0)[:FB_B]
+        lens_t = np.concatenate([lens] * reps, axis=0)[:FB_B]
+        codes_d, lens_d = jnp.asarray(codes_t), jnp.asarray(lens_t)
+        kw = dict(n_top=64, n_active=64, max_ratio=30.0, n_warmup=16,
+                  stored_k=64, store_bf16=True)
         np.asarray(
             mappings_sparse_adaptive(dm, codes_d, lens_d, **kw)[0]
         )
@@ -176,8 +184,8 @@ def main():
         logp, mn_, ml_ = mappings_sparse_adaptive(dm, codes_d, lens_d, **kw)
         logp = np.asarray(logp)
         dt = time.perf_counter() - t0
-        assert np.all(np.isfinite(logp[: len(lens)]))
-        return dt
+        assert np.all(np.isfinite(logp))
+        return dt, FB_B
 
     try:
         dt, variant = run_pallas("packed")
@@ -202,13 +210,15 @@ def main():
     # k=10k scale — VERDICT r1 item 4
     extra = [dict(headline)]
     try:
-        dt_fb = run_fwd_bwd()
+        dt_fb, fb_b = run_fwd_bwd()
         extra.append(
             {
                 "metric": "fwd_bwd_mapping_reads_per_sec_k10k",
-                "value": round(B / dt_fb, 1),
-                "unit": "10kb-read fwd-bwd decodes/s (n=100k states, sparse-adaptive, n_top=64)",
-                "vs_baseline": round((B / dt_fb) / BASELINE_READS_PER_SEC, 1),
+                "value": round(fb_b / dt_fb, 1),
+                "unit": f"10kb-read fwd-bwd decodes/s (n=100k states, "
+                        f"sparse-adaptive, n_top=64, B={fb_b}, bf16 "
+                        f"compact-stored tables)",
+                "vs_baseline": round((fb_b / dt_fb) / BASELINE_READS_PER_SEC, 1),
             }
         )
     except Exception as e:
