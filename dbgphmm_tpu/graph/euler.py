@@ -143,3 +143,177 @@ def euler_circuit(
     circuit.reverse()
     assert all(r == 0 for r in remaining), "graph has no Eulerian circuit covering all copies"
     return circuit
+
+
+class EulerCache:
+    """Incremental BEST-theorem counts for copy-num assignments near a base
+    assignment (ref: euler.rs:22-128; posterior scoring calls one count per
+    CANDIDATE, posterior.rs:504-515).
+
+    The dominant cost of :func:`euler_circuit_count` is the O(n^3) log-det
+    of the copy-weighted Laplacian (n = live compact nodes; ~5.3k on the
+    KIR-class graph -> ~4s per candidate on this host).  Candidates are
+    neighbors of the base flow — they differ by one +-1 residual cycle — so
+    their matrix differs from the base's by entries confined to the cycle's
+    rows.  This cache LU-factors the base matrix ONCE and evaluates each
+    candidate via the matrix determinant lemma:
+
+        det(A + E_R W) = det(A) * det(I_r + W A^-1 E_R)
+
+    with r = touched rows (~cycle length).  The per-SCC block structure is
+    folded into ONE block-diagonal matrix over all live nodes (flow
+    consistency forbids positive edges between SCCs) with the +1 tweak at
+    each SCC's first node; SCC-structure changes between base and candidate
+    become +-1 tweak deltas in W.  EXACT — candidates whose live node set
+    differs from the base's fall back to the full computation.
+    """
+
+    def __init__(self, graph: DiGraph, base_copy_nums):
+        import scipy.linalg as sla
+
+        self.graph = graph
+        self.src = np.asarray(graph.edge_sources, dtype=np.int64)
+        self.dst = np.asarray(graph.edge_targets, dtype=np.int64)
+        self.base = np.asarray(base_copy_nums, dtype=np.int64)
+        self.ok = False
+        live = self._live_nodes(self.base)
+        if live.size == 0:
+            return
+        self.nodes = live
+        self.rank = np.full(int(live.max()) + 1, -1, dtype=np.int64)
+        self.rank[live] = np.arange(live.size)
+        firsts = self._scc_firsts(self.base, live)
+        if firsts is None:
+            return
+        self.base_firsts = firsts
+        m0 = self._matrix(self.base, firsts)
+        try:
+            self.lu = sla.lu_factor(m0)
+        except Exception:
+            return
+        diag = np.diag(self.lu[0])
+        if np.any(diag == 0.0):
+            return
+        # sign of det from the permutation parity and diagonal signs
+        piv = self.lu[1]
+        parity = np.count_nonzero(piv != np.arange(piv.size)) % 2
+        self.sign0 = (-1.0) ** parity * np.prod(np.sign(diag))
+        self.logdet0 = float(np.sum(np.log(np.abs(diag))))
+        if self.sign0 != 1.0:
+            # negative/zero determinant: the per-SCC sign*ln sum of the
+            # reference quirk is not reproducible from the global product —
+            # serve everything through the full fallback
+            return
+        self._sla = sla
+        self.ok = True
+
+    # -- helpers --------------------------------------------------------------
+
+    def _live_nodes(self, cn) -> np.ndarray:
+        pos = cn > 0
+        return np.unique(np.concatenate([self.src[pos], self.dst[pos]]))
+
+    def _scc_firsts(self, cn, live) -> Optional[np.ndarray]:
+        """Minimal live-rank node of each SCC of the positive subgraph, or
+        None when the SCC structure violates the block assumption (a
+        positive edge between two SCCs — a flow-inconsistent candidate)."""
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import connected_components
+
+        rank = np.full(int(live.max()) + 1, -1, dtype=np.int64)
+        rank[live] = np.arange(live.size)
+        pos = cn > 0
+        s, t = rank[self.src[pos]], rank[self.dst[pos]]
+        n = live.size
+        adj = sp.csr_matrix(
+            (np.ones(len(s)), (s, t)), shape=(n, n)
+        )
+        n_comp, labels = connected_components(
+            adj, directed=True, connection="strong"
+        )
+        # block check: every positive edge must stay within one SCC
+        if np.any(labels[s] != labels[t]):
+            return None
+        firsts = np.full(n_comp, n, dtype=np.int64)
+        np.minimum.at(firsts, labels, np.arange(n))
+        return np.sort(firsts)
+
+    def _matrix(self, cn, firsts) -> np.ndarray:
+        n = self.nodes.size
+        m = np.zeros((n, n), dtype=np.float64)
+        pos = cn > 0
+        s = self.rank[self.src[pos]]
+        t = self.rank[self.dst[pos]]
+        c = cn[pos].astype(np.float64)
+        np.add.at(m, (s, s), c)  # out-degree on the diagonal
+        np.subtract.at(m, (s, t), c)
+        m[firsts, firsts] += 1.0
+        return m
+
+    def _scalar_terms(self, cn) -> float:
+        from scipy.special import gammaln
+
+        pos = cn > 0
+        out_deg = np.zeros(self.nodes.size, dtype=np.int64)
+        np.add.at(out_deg, self.rank[self.src[pos]], cn[pos])
+        tot = float(np.sum(gammaln(out_deg[out_deg > 0])))  # log (d-1)!
+        tot -= float(np.sum(gammaln(cn[pos] + 1.0)))  # -log c!
+        return tot
+
+    # -- api ------------------------------------------------------------------
+
+    def count(self, copy_nums, max_rank: int = 256) -> float:
+        cn = np.asarray(copy_nums, dtype=np.int64)
+        if not self.ok:
+            return euler_circuit_count(self.graph, list(copy_nums))
+        live = self._live_nodes(cn)
+        if live.size != self.nodes.size or not np.array_equal(live, self.nodes):
+            return euler_circuit_count(self.graph, list(copy_nums))
+        firsts = self._scc_firsts(cn, live)
+        if firsts is None:
+            return euler_circuit_count(self.graph, list(copy_nums))
+
+        # delta entries (rows confined to sources of changed edges + tweak
+        # positions)
+        changed = np.nonzero(cn != self.base)[0]
+        n = self.nodes.size
+        rows = set()
+        entries = {}
+
+        def add(i, j, v):
+            if v:
+                entries[(i, j)] = entries.get((i, j), 0.0) + v
+                rows.add(i)
+
+        for e in changed:
+            d = float(cn[e] - self.base[e])
+            i, j = int(self.rank[self.src[e]]), int(self.rank[self.dst[e]])
+            add(i, i, d)
+            add(i, j, -d)
+        for f in np.setdiff1d(firsts, self.base_firsts):
+            add(int(f), int(f), 1.0)
+        for f in np.setdiff1d(self.base_firsts, firsts):
+            add(int(f), int(f), -1.0)
+
+        r = len(rows)
+        if r == 0:
+            sign, logdet = self.sign0, self.logdet0
+        elif r > max_rank:
+            return euler_circuit_count(self.graph, list(copy_nums))
+        else:
+            rlist = sorted(rows)
+            ridx = {i: a for a, i in enumerate(rlist)}
+            w = np.zeros((r, n), dtype=np.float64)
+            for (i, j), v in entries.items():
+                w[ridx[i], j] += v
+            er = np.zeros((n, r), dtype=np.float64)
+            er[rlist, np.arange(r)] = 1.0
+            x = self._sla.lu_solve(self.lu, er)  # A^-1 E_R
+            s_small = np.eye(r) + w @ x
+            sgn, ld = np.linalg.slogdet(s_small)
+            if ld == NEG_INF or sgn != 1.0:
+                return euler_circuit_count(self.graph, list(copy_nums))
+            sign, logdet = self.sign0 * sgn, self.logdet0 + ld
+
+        count = float(sign * logdet)
+        return count + self._scalar_terms(cn)

@@ -541,10 +541,17 @@ def score_candidates(
 
     scores = []
     work = dbg.copy()
+    # incremental Euler counts: candidates are +-1-cycle neighbors of the
+    # batch's base assignment, so the O(n^3) log-det factors once and each
+    # candidate costs a rank-r update (graph/euler.EulerCache; the full
+    # slogdet is ~4s per candidate at KIR-class compact sizes)
+    from ..graph.euler import EulerCache
+
+    ecache = EulerCache(dbg.compact, dbg.get_copy_nums())
     for cn, ll in zip(candidates, lls):
         t1 = time.time()
         work.set_copy_nums(cn)
-        n_ec = work.n_euler_circuits_log()
+        n_ec = ecache.count(cn)
         t_euler = time.time() - t1
         scores.append(
             Score(

@@ -301,3 +301,58 @@ def test_native_k_shortest_matches_python():
         finally:
             ks._KLIB = lib
         assert native == py, (trial, s, t, k, native, py)
+
+
+def test_euler_cache_matches_direct_counts():
+    """EulerCache (LU-once + determinant-lemma per candidate) must equal
+    euler_circuit_count on neighbor flows of random Eulerian multigraphs,
+    including flows that kill edges, resurrect edges, and split/merge
+    SCCs."""
+    import random
+
+    from dbgphmm_tpu.graph.digraph import DiGraph
+    from dbgphmm_tpu.graph.euler import EulerCache, euler_circuit_count
+
+    rng = random.Random(11)
+    for trial in range(12):
+        g = DiGraph()
+        n = rng.randint(3, 10)
+        for _ in range(n):
+            g.add_node()
+        # random circulation: overlay rng cycles so flow is consistent
+        cn = None
+        edges = {}
+        base = [0] * 0
+        copy = {}
+        for _ in range(rng.randint(2, 5)):
+            cyc = [rng.randrange(n) for _ in range(rng.randint(2, n))]
+            for a, b in zip(cyc, cyc[1:] + cyc[:1]):
+                key = (a, b)
+                if key not in edges:
+                    edges[key] = g.add_edge(a, b)
+                copy[edges[key]] = copy.get(edges[key], 0) + 1
+        base = [copy.get(e, 0) for e in range(g.n_edges())]
+        cache = EulerCache(g, base)
+        direct = euler_circuit_count(g, base)
+        got = cache.count(base)
+        assert abs(got - direct) < 1e-6, (trial, got, direct)
+        # neighbor flows: push +-1 around additional cycles
+        for _ in range(6):
+            cand = list(base)
+            cyc = [rng.randrange(n) for _ in range(rng.randint(2, n))]
+            delta = rng.choice([1, -1])
+            okf = True
+            for a, b in zip(cyc, cyc[1:] + cyc[:1]):
+                e = edges.get((a, b))
+                if e is None:
+                    okf = False
+                    break
+                cand[e] += delta
+                if cand[e] < 0:
+                    okf = False
+                    break
+            if not okf:
+                continue
+            direct = euler_circuit_count(g, cand)
+            got = cache.count(cand)
+            assert abs(got - direct) < 1e-6, (trial, cand, got, direct)
