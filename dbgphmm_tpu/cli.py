@@ -211,7 +211,19 @@ def cmd_sim_infer(args):
     except Exception:
         print("# warning: true genome k-mers missing from draft")
     args.genome_size = args.genome_size or ds.genome_size()
-    dbg_final, posterior = _run_inference(dbg, ds.reads, args, paths_true)
+    mappings = None
+    if getattr(args, "map_input", None):
+        # restart from a per-k checkpoint: -d out.kK.dbg --map out.kK.map.mpz
+        # (ref: bin/infer.rs:44-48; truth diff re-derives from the dataset)
+        mappings = out.from_map_file(args.map_input)
+        if mappings.n_reads() != len(ds.reads):
+            raise SystemExit(
+                f"--map {args.map_input}: {mappings.n_reads()} mapped reads"
+                f" but {len(ds.reads)} reads in the dataset"
+            )
+    dbg_final, posterior = _run_inference(
+        dbg, ds.reads, args, paths_true, mappings=mappings
+    )
     # accuracy report
     haps = sorted(s.seq for s, _c in dbg_final.get_linear_haplotype_seqs())
     truth = sorted(s.seq for s in ds.genome)
@@ -584,6 +596,8 @@ def build_parser() -> argparse.ArgumentParser:
     si.add_argument("-e", "--p-infer", type=float, default=0.00001)
     si.add_argument("--p0", type=float, default=0.8)
     si.add_argument("-I", "--max-iter", type=int, default=50)
+    si.add_argument("--map", dest="map_input", default=None,
+                    help="restart mappings from a dumped .map/.mpz")
     si.set_defaults(fn=cmd_sim_infer)
 
     sp = sub.add_parser("sample", help="posterior sampling at fixed k")
