@@ -168,9 +168,10 @@ class EulerCache:
     differs from the base's fall back to the full computation.
     """
 
-    def __init__(self, graph: DiGraph, base_copy_nums):
+    def __init__(self, graph: DiGraph, base_copy_nums, strict: bool = True):
         import scipy.linalg as sla
 
+        self.strict = strict
         self.graph = graph
         self.src = np.asarray(graph.edge_sources, dtype=np.int64)
         self.dst = np.asarray(graph.edge_targets, dtype=np.int64)
@@ -264,14 +265,22 @@ class EulerCache:
 
     def count(self, copy_nums, max_rank: int = 256) -> float:
         cn = np.asarray(copy_nums, dtype=np.int64)
+        fallback = lambda: euler_circuit_count(
+            self.graph, list(copy_nums),
+            allow_multiple_component=not self.strict,
+        )
         if not self.ok:
-            return euler_circuit_count(self.graph, list(copy_nums))
+            return fallback()
         live = self._live_nodes(cn)
         if live.size != self.nodes.size or not np.array_equal(live, self.nodes):
-            return euler_circuit_count(self.graph, list(copy_nums))
+            return fallback()
         firsts = self._scc_firsts(cn, live)
         if firsts is None:
-            return euler_circuit_count(self.graph, list(copy_nums))
+            return fallback()
+        if self.strict and firsts.size > 1:
+            # reference semantics (multi_dbg.rs:836): several SCCs -> no
+            # Eulerian circuit
+            return NEG_INF
 
         # delta entries (rows confined to sources of changed edges + tweak
         # positions)
@@ -299,7 +308,7 @@ class EulerCache:
         if r == 0:
             sign, logdet = self.sign0, self.logdet0
         elif r > max_rank:
-            return euler_circuit_count(self.graph, list(copy_nums))
+            return fallback()
         else:
             rlist = sorted(rows)
             ridx = {i: a for a, i in enumerate(rlist)}
@@ -312,7 +321,7 @@ class EulerCache:
             s_small = np.eye(r) + w @ x
             sgn, ld = np.linalg.slogdet(s_small)
             if ld == NEG_INF or sgn != 1.0:
-                return euler_circuit_count(self.graph, list(copy_nums))
+                return fallback()
             sign, logdet = self.sign0 * sgn, self.logdet0 + ld
 
         count = float(sign * logdet)

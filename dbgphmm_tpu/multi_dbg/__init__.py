@@ -745,8 +745,13 @@ class MultiDbg:
 
     def n_euler_circuits_log(self) -> float:
         """log #Eulerian circuits of the compact multigraph
-        (ref: multi_dbg.rs:831 n_euler_circuits)."""
-        return euler_circuit_count(self.compact, self.get_copy_nums())
+        (ref: multi_dbg.rs:831-836 n_euler_circuits — the reference passes
+        allow_multiple_component=false: a positive subgraph split into
+        several SCCs has NO Eulerian circuit, so the assignment scores
+        -inf)."""
+        return euler_circuit_count(
+            self.compact, self.get_copy_nums(), allow_multiple_component=False
+        )
 
     # -- equality -------------------------------------------------------------
 

@@ -332,7 +332,7 @@ def test_euler_cache_matches_direct_counts():
                     edges[key] = g.add_edge(a, b)
                 copy[edges[key]] = copy.get(edges[key], 0) + 1
         base = [copy.get(e, 0) for e in range(g.n_edges())]
-        cache = EulerCache(g, base)
+        cache = EulerCache(g, base, strict=False)
         direct = euler_circuit_count(g, base)
         got = cache.count(base)
         assert abs(got - direct) < 1e-6, (trial, got, direct)
@@ -356,3 +356,26 @@ def test_euler_cache_matches_direct_counts():
             direct = euler_circuit_count(g, cand)
             got = cache.count(cand)
             assert abs(got - direct) < 1e-6, (trial, cand, got, direct)
+
+
+def test_euler_strict_multi_component_is_neg_inf():
+    """Reference semantics (multi_dbg.rs:836, euler.rs:120-124): a positive
+    subgraph split into several SCCs has no Eulerian circuit."""
+    from dbgphmm_tpu.graph.digraph import DiGraph
+    from dbgphmm_tpu.graph.euler import EulerCache, euler_circuit_count
+
+    g = DiGraph()
+    for _ in range(4):
+        g.add_node()
+    # two disjoint 2-cycles
+    e = [g.add_edge(0, 1), g.add_edge(1, 0), g.add_edge(2, 3), g.add_edge(3, 2)]
+    base = [1, 1, 1, 1]
+    assert euler_circuit_count(g, base, allow_multiple_component=False) == float("-inf")
+    assert euler_circuit_count(g, base, allow_multiple_component=True) > float("-inf")
+    cache = EulerCache(g, base, strict=True)
+    assert cache.count(base) == float("-inf")
+    # killing one cycle leaves a single SCC -> finite
+    single = [1, 1, 0, 0]
+    got = cache.count(single)
+    want = euler_circuit_count(g, single, allow_multiple_component=False)
+    assert abs(got - want) < 1e-9
