@@ -190,6 +190,27 @@ def test_sharded_generate_mappings_matches_local(dbg_setup):
         assert (a[:, w:] < 0).all() and (b[:, w:] < 0).all()
 
 
+def test_sharded_generate_mappings_with_hint_matches_local(dbg_setup):
+    """Hint-seeded regeneration (mappings_refine, the steady-state per-k
+    path) under a mesh matches the local hint run read-for-read (ADVICE r2:
+    mesh+hint generate_mappings had no test)."""
+    from dbgphmm_tpu.multi_dbg.posterior import generate_mappings
+
+    dbg, reads, params, mappings = dbg_setup
+    local = generate_mappings(dbg, params, reads, hint=mappings)
+    mesh = make_mesh(8, cand_axis=2)
+    sharded = generate_mappings(dbg, params, reads, hint=mappings, mesh=mesh)
+    assert sharded.n_reads() == local.n_reads()
+    for a, b in zip(local.nodes, sharded.nodes):
+        w = min(a.shape[1], b.shape[1])
+        np.testing.assert_array_equal(a[:, :w], b[:, :w])
+        assert (a[:, w:] < 0).all() and (b[:, w:] < 0).all()
+    np.testing.assert_allclose(
+        np.asarray(local.read_logps), np.asarray(sharded.read_logps),
+        rtol=0, atol=1e-6,
+    )
+
+
 def test_uneven_read_count_padding(setup):
     dm, codes, lens = setup
     # 10 reads on an 8-way mesh: padding path
