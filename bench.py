@@ -95,7 +95,18 @@ def main():
             child_exists=child_exists, n_nodes_graph=n,
         )
         streams = build_streams(tpl, pos, codes, lens, None)
-        cands = [np.ones(NCreal, dtype=np.int64).tolist() for _ in range(C)]
+        # DISTINCT candidates (VERDICT r2 weak-4: identical all-ones vectors
+        # made the eff tables degenerate): each candidate bumps a few random
+        # compact edges +1/+2 — up-only keeps every read's score finite
+        # (copy-0 cuts would -inf reads crossing them), while giving every
+        # candidate a distinct eff table like a real rescue set
+        cand_rng = np.random.default_rng(1)
+        cands = []
+        for _ in range(C):
+            cn = np.ones(NCreal, dtype=np.int64)
+            bump = cand_rng.choice(NCreal, size=4, replace=False)
+            cn[bump] += cand_rng.integers(1, 3, size=4)
+            cands.append(cn.tolist())
         ltv = lin_params_vector(dm)
         stream_args = (
             jnp.asarray(streams.lens), jnp.asarray(streams.codes),

@@ -21,6 +21,7 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 PY="python"
 export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 export OMP_NUM_THREADS=1   # ref: README.md:95 (BLAS threading)
+export PYTHONUNBUFFERED=1  # keep tee'd logs live for long runs
 
 DBG() { $PY -m dbgphmm_tpu "$@"; }
 
