@@ -478,6 +478,30 @@ def make_pallas_scorer(template, positions, codes, lens, params, mesh=None):
         return None
 
 
+def _is_worker_crash(e: Exception) -> bool:
+    s = str(e)
+    return "worker process crashed" in s or "UNAVAILABLE" in s
+
+
+def _revive_backend() -> bool:
+    """Recover the process after a TPU worker crash (axon grants a fresh
+    worker per client handshake).  The reference's recovery story is
+    file-granular restart (SURVEY §5 / bin/infer.rs:44-48); in-process
+    revival keeps a multi-hour inference loop alive across a transient
+    runtime fault instead of losing the k-stage in flight."""
+    try:
+        import jax
+        import jax.extend.backend as jexb
+        import jax.numpy as jnp
+
+        jexb.clear_backends()
+        np.asarray(jnp.zeros(8) + 1)  # probe the revived backend
+        return True
+    except Exception as e:  # pragma: no cover - backend-specific
+        print(f"[posterior] backend revive failed ({type(e).__name__}: {e})")
+        return False
+
+
 def score_candidates(
     dbg: MultiDbg,
     params: PHMMParams,
@@ -510,7 +534,7 @@ def score_candidates(
 
     t0 = time.time()
     lls = None
-    if pallas_scorer is not None:
+    if pallas_scorer is not None and not getattr(pallas_scorer, "disabled", False):
         try:
             lls, ok = pallas_scorer.scores_detailed(candidates)
             if not ok.all():
@@ -531,12 +555,30 @@ def score_candidates(
             print(f"[posterior] pallas scoring failed ({type(e).__name__}: {e}); "
                   "falling back to XLA kernel")
             lls = None
+            if _is_worker_crash(e):
+                # the whole process's backend is dead — revive it or the
+                # XLA fallback below dies too, losing the k-stage in flight
+                ok_revive = _revive_backend()
+                pallas_scorer._dev = {}  # dead device buffers
+                pallas_scorer.disabled = True  # don't re-risk this process
+                print(f"[posterior] worker crash: backend revived={ok_revive}, "
+                      "pallas scorer disabled for this process")
     if lls is None:
         models = _phmm_models_for_candidates(dbg, params, candidates, template)
-        lls = candidate_log_likelihoods(
-            models, codes, lens, dtype=dtype, map_nodes=map_nodes,
-            positions=positions, mesh=mesh,
-        )
+        try:
+            lls = candidate_log_likelihoods(
+                models, codes, lens, dtype=dtype, map_nodes=map_nodes,
+                positions=positions, mesh=mesh,
+            )
+        except Exception as e:
+            if not _is_worker_crash(e) or not _revive_backend():
+                raise
+            print("[posterior] worker crash in XLA kernel: backend revived, "
+                  "retrying once")
+            lls = candidate_log_likelihoods(
+                models, codes, lens, dtype=dtype, map_nodes=map_nodes,
+                positions=positions, mesh=mesh,
+            )
     t_like = time.time() - t0
 
     scores = []

@@ -167,9 +167,14 @@ def stage_probe(d, kind, n):
                         renorm_every=st["renorm_every"],
                     )
                 )
+                try:
+                    ms = jax.devices()[0].memory_stats() or {}
+                    hbm = ms.get("bytes_in_use", 0) / 1e9
+                except Exception:
+                    hbm = -1
                 print(f"# probe kind={kind} n={n} sub@{c0} chunk{ci} "
                       f"OK {time.time()-t0:.2f}s "
-                      f"finite={np.isfinite(out).mean():.3f}")
+                      f"finite={np.isfinite(out).mean():.3f} hbm={hbm:.2f}GB")
                 outs.append(out)
     print("PROBE_OK")
 

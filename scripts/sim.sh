@@ -77,10 +77,33 @@ run_dbgphmm() {  # ref: sim.sh:152-163
   local pz=0.99
   local DIR="$KEY/dbgphmm"
   mkdir -p "$DIR"
-  DBG sim-infer "$KEY/data.json" -d "$KEY/data.dbg" \
-    -o "$DIR/pz${pz}_pi${p}" -K "$K" -e "$p" -p "$p" -S 5000 -I 50 \
-    --p0 "$pz" 2>&1 | tee "$DIR/log"
-  evaluate_asm "$KEY/data.genome.fa" "$DIR/pz${pz}_pi${p}.final.euler.fa"
+  local PRE="$DIR/pz${pz}_pi${p}"
+  # Supervisor loop (failure-recovery, SURVEY §5: the reference's recovery
+  # story is file-granular restart via qsub resubmission + --dbg/--map
+  # inputs, bin/infer.rs:44-48).  A TPU worker crash kills the process; we
+  # restart from the deepest per-k checkpoint.  Attempt 0-1 use the packed
+  # Pallas scorer; attempts >=2 pin the XLA kernel (DBGPHMM_PALLAS=0).
+  local attempt=0
+  while :; do
+    local ARGS=( sim-infer "$KEY/data.json" -o "$PRE" -K "$K" \
+                 -e "$p" -p "$p" -S 5000 -I 50 --p0 "$pz" )
+    local LASTK
+    LASTK=$(ls "$PRE".k*.dbg 2>/dev/null \
+            | sed 's/.*\.k\([0-9]*\)\.dbg/\1/' | sort -n | tail -1)
+    if [ -n "$LASTK" ]; then
+      ARGS+=( -d "$PRE.k$LASTK.dbg" --map "$PRE.k$LASTK.map.mpz" )
+    else
+      ARGS+=( -d "$KEY/data.dbg" )
+    fi
+    [ "$attempt" -ge 2 ] && export DBGPHMM_PALLAS=0
+    DBG "${ARGS[@]}" 2>&1 | tee -a "$DIR/log"
+    local rc=${PIPESTATUS[0]}
+    [ "$rc" -eq 0 ] && break
+    attempt=$((attempt+1))
+    [ "$attempt" -gt 12 ] && { echo "# run_dbgphmm: giving up after $attempt attempts" | tee -a "$DIR/log"; break; }
+    echo "# run_dbgphmm: rc=$rc attempt=$attempt restarting from k=${LASTK:-draft}" | tee -a "$DIR/log"
+  done
+  evaluate_asm "$KEY/data.genome.fa" "$PRE.final.euler.fa"
 }
 
 run_n4() {  # ref: sim.sh:184-214 (U=10000 N=4 E=2000 P=2, C=10 L=10000)
