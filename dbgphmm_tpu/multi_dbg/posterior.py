@@ -502,6 +502,29 @@ def _revive_backend() -> bool:
         return False
 
 
+def _dump_crash_batch(dbg: MultiDbg, candidates: List[List[int]]) -> None:
+    """Persist the exact candidate batch that crashed the packed kernel so
+    the fault can be bisected offline (scripts/repro_packed_prod.py
+    --cands file).  The crash is value-specific (synthetic batches at the
+    same shapes pass), so the batch itself IS the repro artifact."""
+    import os
+
+    path = os.path.join(
+        os.environ.get("DBGPHMM_CRASH_DIR", "."),
+        f"pallas_crash_k{dbg.k}_{int(time.time())}.npz",
+    )
+    try:
+        np.savez_compressed(
+            path,
+            candidates=np.asarray(candidates, dtype=np.int64),
+            base=np.asarray(dbg.get_copy_nums(), dtype=np.int64),
+            k=dbg.k,
+        )
+        print(f"[posterior] crash candidate batch dumped to {path}")
+    except Exception as e:  # pragma: no cover - best-effort diagnostics
+        print(f"[posterior] crash batch dump failed ({type(e).__name__}: {e})")
+
+
 def score_candidates(
     dbg: MultiDbg,
     params: PHMMParams,
@@ -556,6 +579,7 @@ def score_candidates(
                   "falling back to XLA kernel")
             lls = None
             if _is_worker_crash(e):
+                _dump_crash_batch(dbg, candidates)
                 # the whole process's backend is dead — revive it or the
                 # XLA fallback below dies too, losing the k-stage in flight
                 ok_revive = _revive_backend()

@@ -110,10 +110,16 @@ def stage_prep(d):
     print("# pickled")
 
 
-def make_cands(base, kind, n, seed=0):
+def make_cands(base, kind, n, seed=0, file=None, lo=None, hi=None):
     rng = np.random.default_rng(seed)
     base = np.asarray(base, dtype=np.int64)
     cands = []
+    if kind == "file":
+        # the exact in-run batch dumped by posterior._dump_crash_batch on a
+        # worker crash; [lo:hi] selects a sub-range for bisection
+        arr = np.load(file)["candidates"]
+        arr = arr[lo:hi] if (lo is not None or hi is not None) else arr
+        return [c.tolist() for c in arr]
     if kind == "init":
         cands = [base.tolist()] * n
     elif kind == "rescue":
@@ -131,7 +137,7 @@ def make_cands(base, kind, n, seed=0):
     return cands
 
 
-def stage_probe(d, kind, n):
+def stage_probe(d, kind, n, file=None, lo=None, hi=None):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -143,7 +149,7 @@ def stage_probe(d, kind, n):
     with open(f"{d}/repro_streams.pkl", "rb") as f:
         st = pickle.load(f)
     chunks = st["chunks"]
-    cands = make_cands(st["base_cn"], kind, n)
+    cands = make_cands(st["base_cn"], kind, n, file=file, lo=lo, hi=hi)
     sub = st["CAND_SUB"]
     outs = []
     with jax.enable_x64(False):
@@ -207,12 +213,15 @@ if __name__ == "__main__":
     ap.add_argument("--stage", default=None)
     ap.add_argument("--cands", default="init")
     ap.add_argument("--n", type=int, default=1)
+    ap.add_argument("--file", default=None, help="crash-batch .npz for --cands file")
+    ap.add_argument("--lo", type=int, default=None)
+    ap.add_argument("--hi", type=int, default=None)
     a = ap.parse_args()
     if a.stage == "maps":
         stage_maps(a.dir)
     elif a.stage == "prep":
         stage_prep(a.dir)
     elif a.stage == "probe":
-        stage_probe(a.dir, a.cands, a.n)
+        stage_probe(a.dir, a.cands, a.n, file=a.file, lo=a.lo, hi=a.hi)
     else:
         orchestrate(a.dir)
