@@ -483,23 +483,31 @@ def _is_worker_crash(e: Exception) -> bool:
     return "worker process crashed" in s or "UNAVAILABLE" in s
 
 
-def _revive_backend() -> bool:
+def _revive_backend(attempts: int = 5, wait_s: float = 15.0) -> bool:
     """Recover the process after a TPU worker crash (axon grants a fresh
     worker per client handshake).  The reference's recovery story is
     file-granular restart (SURVEY §5 / bin/infer.rs:44-48); in-process
     revival keeps a multi-hour inference loop alive across a transient
-    runtime fault instead of losing the k-stage in flight."""
-    try:
-        import jax
-        import jax.extend.backend as jexb
-        import jax.numpy as jnp
+    runtime fault instead of losing the k-stage in flight.
 
-        jexb.clear_backends()
-        np.asarray(jnp.zeros(8) + 1)  # probe the revived backend
-        return True
-    except Exception as e:  # pragma: no cover - backend-specific
-        print(f"[posterior] backend revive failed ({type(e).__name__}: {e})")
-        return False
+    The remote worker takes time to come back after a crash — a fresh
+    process minutes later connects fine while an immediate re-handshake
+    gets the same UNAVAILABLE — so probe with a backoff instead of giving
+    up on the first failure."""
+    for i in range(attempts):
+        try:
+            import jax
+            import jax.extend.backend as jexb
+            import jax.numpy as jnp
+
+            jexb.clear_backends()
+            np.asarray(jnp.zeros(8) + 1)  # probe the revived backend
+            return True
+        except Exception as e:  # pragma: no cover - backend-specific
+            print(f"[posterior] backend revive attempt {i} failed "
+                  f"({type(e).__name__}: {e}); retrying in {wait_s:.0f}s")
+            time.sleep(wait_s)
+    return False
 
 
 def _dump_crash_batch(dbg: MultiDbg, candidates: List[List[int]]) -> None:
@@ -588,21 +596,56 @@ def score_candidates(
                 print(f"[posterior] worker crash: backend revived={ok_revive}, "
                       "pallas scorer disabled for this process")
     if lls is None:
-        models = _phmm_models_for_candidates(dbg, params, candidates, template)
-        try:
-            lls = candidate_log_likelihoods(
+        # Fixed-size sub-batches instead of one power-of-two-padded launch
+        # over the whole batch: a 260-candidate rescue batch would pad to a
+        # single 512-candidate ~2-minute device program (the monolithic
+        # launch the first production run died in), while 32-candidate
+        # launches keep one compiled shape, bound the blast radius of a
+        # worker crash, and waste at most 31 pad slots.
+        SUB = 32
+
+        def run_chunk(chunk):
+            models = _phmm_models_for_candidates(dbg, params, chunk, template)
+            return candidate_log_likelihoods(
                 models, codes, lens, dtype=dtype, map_nodes=map_nodes,
                 positions=positions, mesh=mesh,
             )
-        except Exception as e:
-            if not _is_worker_crash(e) or not _revive_backend():
-                raise
-            print("[posterior] worker crash in XLA kernel: backend revived, "
-                  "retrying once")
-            lls = candidate_log_likelihoods(
-                models, codes, lens, dtype=dtype, map_nodes=map_nodes,
-                positions=positions, mesh=mesh,
-            )
+
+        lls = np.empty(len(candidates), dtype=np.float64)
+        for c0 in range(0, len(candidates), SUB):
+            chunk = list(candidates[c0 : c0 + SUB])
+            try:
+                vals = run_chunk(chunk)
+            except Exception as e:
+                if not _is_worker_crash(e) or not _revive_backend():
+                    raise
+                print(f"[posterior] worker crash in XLA kernel (chunk @{c0}): "
+                      "backend revived, retrying chunk")
+                try:
+                    vals = run_chunk(chunk)
+                except Exception as e2:
+                    if not _is_worker_crash(e2) or not _revive_backend():
+                        raise
+                    # persistent crash on this chunk: isolate per candidate
+                    # (single-candidate launches share the initial score's
+                    # compiled shape); a candidate that crashes even alone
+                    # is scored -inf (never accepted by the climb), dumped
+                    # for offline bisection, and the run continues
+                    print(f"[posterior] chunk @{c0} crashes repeatedly; "
+                          "isolating per candidate")
+                    vals = np.empty(len(chunk), dtype=np.float64)
+                    for j, cn in enumerate(chunk):
+                        try:
+                            vals[j] = run_chunk([cn])[0]
+                        except Exception as e3:
+                            if not _is_worker_crash(e3) or not _revive_backend():
+                                raise
+                            print(f"[posterior] candidate {c0 + j} crashes "
+                                  "the worker alone; scoring -inf and "
+                                  "dumping it")
+                            _dump_crash_batch(dbg, [cn])
+                            vals[j] = NEG_INF
+            lls[c0 : c0 + len(chunk)] = np.asarray(vals)[: len(chunk)]
     t_like = time.time() - t0
 
     scores = []
