@@ -646,6 +646,9 @@ def score_candidates(
                             _dump_crash_batch(dbg, [cn])
                             vals[j] = NEG_INF
             lls[c0 : c0 + len(chunk)] = np.asarray(vals)[: len(chunk)]
+            if c0 // SUB % 8 == 7:
+                print(f"[posterior]   xla chunk {c0 + len(chunk)}/"
+                      f"{len(candidates)} ({time.time() - t0:.0f}s)")
     t_like = time.time() - t0
 
     scores = []
