@@ -95,7 +95,10 @@ run_dbgphmm() {  # ref: sim.sh:152-163
     else
       ARGS+=( -d "$KEY/data.dbg" )
     fi
-    [ "$attempt" -ge 2 ] && export DBGPHMM_PALLAS=0
+    # a restart means the previous attempt died mid-k (worker crash); the
+    # packed kernel is the usual culprit at production widths, so pin the
+    # chunked XLA scorer for every retry rather than re-crashing once more
+    [ "$attempt" -ge 1 ] && export DBGPHMM_PALLAS=0
     DBG "${ARGS[@]}" 2>&1 | tee -a "$DIR/log"
     local rc=${PIPESTATUS[0]}
     [ "$rc" -eq 0 ] && break
