@@ -483,17 +483,17 @@ def _is_worker_crash(e: Exception) -> bool:
     return "worker process crashed" in s or "UNAVAILABLE" in s
 
 
-def _revive_backend(attempts: int = 5, wait_s: float = 15.0) -> bool:
+def _revive_backend(attempts: int = 1, wait_s: float = 5.0) -> bool:
     """Recover the process after a TPU worker crash (axon grants a fresh
     worker per client handshake).  The reference's recovery story is
-    file-granular restart (SURVEY §5 / bin/infer.rs:44-48); in-process
-    revival keeps a multi-hour inference loop alive across a transient
-    runtime fault instead of losing the k-stage in flight.
+    file-granular restart (SURVEY §5 / bin/infer.rs:44-48).
 
-    The remote worker takes time to come back after a crash — a fresh
-    process minutes later connects fine while an immediate re-handshake
-    gets the same UNAVAILABLE — so probe with a backoff instead of giving
-    up on the first failure."""
+    Measured on axon (docs/PERF_NOTES round 3): in-process revival NEVER
+    succeeds — the worker grant is per-process, so five probes over 75 s
+    all return UNAVAILABLE while a fresh process connects immediately.
+    One probe is therefore the right ladder rung: it catches platforms
+    where revival works, costs seconds where it doesn't, and the
+    supervisor restart (scripts/sim.sh run_dbgphmm) handles the rest."""
     for i in range(attempts):
         try:
             import jax
@@ -505,8 +505,9 @@ def _revive_backend(attempts: int = 5, wait_s: float = 15.0) -> bool:
             return True
         except Exception as e:  # pragma: no cover - backend-specific
             print(f"[posterior] backend revive attempt {i} failed "
-                  f"({type(e).__name__}: {e}); retrying in {wait_s:.0f}s")
-            time.sleep(wait_s)
+                  f"({type(e).__name__}: {e})")
+            if i < attempts - 1:
+                time.sleep(wait_s)
     return False
 
 
@@ -516,10 +517,14 @@ def _dump_crash_batch(dbg: MultiDbg, candidates: List[List[int]]) -> None:
     --cands file).  The crash is value-specific (synthetic batches at the
     same shapes pass), so the batch itself IS the repro artifact."""
     import os
+    import uuid
 
+    crash_dir = os.environ.get("DBGPHMM_CRASH_DIR", "data/repro")
+    os.makedirs(crash_dir, exist_ok=True)
+    # uuid suffix: two dumps within the same second must not overwrite
     path = os.path.join(
-        os.environ.get("DBGPHMM_CRASH_DIR", "."),
-        f"pallas_crash_k{dbg.k}_{int(time.time())}.npz",
+        crash_dir,
+        f"pallas_crash_k{dbg.k}_{int(time.time())}_{uuid.uuid4().hex[:6]}.npz",
     )
     try:
         np.savez_compressed(
@@ -640,6 +645,17 @@ def score_candidates(
                         except Exception as e3:
                             if not _is_worker_crash(e3) or not _revive_backend():
                                 raise
+                            # the revive succeeded — retry once before
+                            # writing the candidate off as -inf: a single
+                            # transient fault must not permanently discard
+                            # a possibly-best candidate (ADVICE r3)
+                            try:
+                                vals[j] = run_chunk([cn])[0]
+                                continue
+                            except Exception as e4:
+                                if (not _is_worker_crash(e4)
+                                        or not _revive_backend()):
+                                    raise
                             print(f"[posterior] candidate {c0 + j} crashes "
                                   "the worker alone; scoring -inf and "
                                   "dumping it")

@@ -81,8 +81,8 @@ run_dbgphmm() {  # ref: sim.sh:152-163
   # Supervisor loop (failure-recovery, SURVEY §5: the reference's recovery
   # story is file-granular restart via qsub resubmission + --dbg/--map
   # inputs, bin/infer.rs:44-48).  A TPU worker crash kills the process; we
-  # restart from the deepest per-k checkpoint.  Attempt 0-1 use the packed
-  # Pallas scorer; attempts >=2 pin the XLA kernel (DBGPHMM_PALLAS=0).
+  # restart from the deepest per-k checkpoint.  Attempt 0 uses the packed
+  # Pallas scorer; every retry pins the XLA kernel (DBGPHMM_PALLAS=0).
   local attempt=0
   while :; do
     local ARGS=( sim-infer "$KEY/data.json" -o "$PRE" -K "$K" \
@@ -97,9 +97,12 @@ run_dbgphmm() {  # ref: sim.sh:152-163
     fi
     # a restart means the previous attempt died mid-k (worker crash); the
     # packed kernel is the usual culprit at production widths, so pin the
-    # chunked XLA scorer for every retry rather than re-crashing once more
-    [ "$attempt" -ge 1 ] && export DBGPHMM_PALLAS=0
-    DBG "${ARGS[@]}" 2>&1 | tee -a "$DIR/log"
+    # chunked XLA scorer for every retry rather than re-crashing once more.
+    # Scope the pin to this invocation only — exporting it would leak into
+    # every later config's attempt 0 in a run_all sweep (ADVICE r3).
+    local PIN=()
+    [ "$attempt" -ge 1 ] && PIN=( DBGPHMM_PALLAS=0 )
+    env "${PIN[@]}" $PY -m dbgphmm_tpu "${ARGS[@]}" 2>&1 | tee -a "$DIR/log"
     local rc=${PIPESTATUS[0]}
     [ "$rc" -eq 0 ] && break
     attempt=$((attempt+1))
