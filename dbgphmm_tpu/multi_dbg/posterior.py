@@ -552,6 +552,7 @@ def score_candidates(
     positions=None,
     template=None,
     pallas_scorer=None,
+    xla_scorer=None,
     mesh=None,
 ) -> List[Score]:
     """Evaluate Score for a batch of copy-number candidates: likelihoods on
@@ -609,12 +610,20 @@ def score_candidates(
         # worker crash, and waste at most 31 pad slots.
         SUB = 32
 
-        def run_chunk(chunk):
-            models = _phmm_models_for_candidates(dbg, params, chunk, template)
-            return candidate_log_likelihoods(
-                models, codes, lens, dtype=dtype, map_nodes=map_nodes,
-                positions=positions, mesh=mesh,
-            )
+        if xla_scorer is not None and mesh is None:
+            # device-resident streams + scaled-linear kernel (ops.batch.
+            # XlaMappedScorer): no per-chunk re-upload of the ~GB-scale
+            # position arrays (the 2.2 s/cand + host-OOM failure mode of
+            # the first K=10k run)
+            SUB = xla_scorer.sub
+            run_chunk = xla_scorer.score_chunk
+        else:
+            def run_chunk(chunk):
+                models = _phmm_models_for_candidates(dbg, params, chunk, template)
+                return candidate_log_likelihoods(
+                    models, codes, lens, dtype=dtype, map_nodes=map_nodes,
+                    positions=positions, mesh=mesh,
+                )
 
         lls = np.empty(len(candidates), dtype=np.float64)
         for c0 in range(0, len(candidates), SUB):
@@ -726,6 +735,7 @@ def sample_posterior(
     map_nodes = None
     positions = None
     pallas_scorer = None
+    xla_scorer = None
     if mappings is not None:
         freqs = mappings.to_node_freqs(dbg.n_edges_full())
         from ..ops.sparse import pad_mappings, precompute_positions
@@ -741,6 +751,12 @@ def sample_posterior(
         pallas_scorer = make_pallas_scorer(
             template, positions, codes, lens, template.params, mesh=mesh
         )
+        if mesh is None:
+            from ..ops.batch import XlaMappedScorer
+
+            xla_scorer = XlaMappedScorer(
+                template, positions, codes, lens, dtype=dtype
+            )
         log(f"setup: positions {t_pos:.1f}s, scorer streams "
             f"{time.time()-t0:.1f}s (width={width})")
     else:
@@ -768,7 +784,7 @@ def sample_posterior(
             work, params, reads, [cn for cn, _i in uniq],
             genome_size_expected, genome_size_sigma, codes, lens, dtype,
             positions=positions, template=template, pallas_scorer=pallas_scorer,
-            mesh=mesh,
+            xla_scorer=xla_scorer, mesh=mesh,
         )
         log(f"  scored {len(uniq)} candidates in {time.time()-t0:.1f}s")
         for (cn, info), sc in zip(uniq, scores):
@@ -779,7 +795,7 @@ def sample_posterior(
         work, params, reads, [copy_nums], genome_size_expected,
         genome_size_sigma, codes, lens, dtype,
         positions=positions, template=template, pallas_scorer=pallas_scorer,
-        mesh=mesh,
+        xla_scorer=xla_scorer, mesh=mesh,
     )
     post.add(PosteriorSample(copy_nums, init_scores[0], []))
 
@@ -837,7 +853,8 @@ def sample_posterior(
                         work, params, reads, [cur], genome_size_expected,
                         genome_size_sigma, codes, lens, dtype,
                         positions=positions, template=template,
-                        pallas_scorer=pallas_scorer, mesh=mesh,
+                        pallas_scorer=pallas_scorer, xla_scorer=xla_scorer,
+                        mesh=mesh,
                     )
                     post.add(PosteriorSample(cur, scores[0], infos + [mm_info]))
 

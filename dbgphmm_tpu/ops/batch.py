@@ -93,6 +93,134 @@ def _totals_vmapped_mapped_pos(dm, init_b, plogt_b, clogt_b, codes, lens,
     return jnp.sum(jnp.where(lens[None, :] > 0, per_read, 0.0), axis=1)
 
 
+@jax.jit
+def _scores_vmapped_pos_linear_slim(dm: DeviceModel, init_b, plogt_b,
+                                    codes, lens, mn, pp, cp, sp):
+    """Candidate-vmapped scaled-linear mapped forward.  Slim: only the
+    candidate-dependent arrays (init, parent trans) are batched; the mapped
+    kernels never read child arrays, so they ride along from the base model
+    unbatched."""
+    from .sparse import forward_scores_mapped_linear
+
+    def one(init_logp, parent_logt):
+        dmc = dataclasses.replace(dm, init_logp=init_logp, parent_logt=parent_logt)
+        return forward_scores_mapped_linear(dmc, codes, lens, mn, pp, cp, sp)
+
+    return jax.vmap(one)(init_b, plogt_b)  # [C, B]
+
+
+@jax.jit
+def _scores_vmapped_pos_log_slim(dm: DeviceModel, init_b, plogt_b,
+                                 codes, lens, mn, pp, cp, sp):
+    from .sparse import forward_scores_mapped_pos
+
+    def one(init_logp, parent_logt):
+        dmc = dataclasses.replace(dm, init_logp=init_logp, parent_logt=parent_logt)
+        return forward_scores_mapped_pos(dmc, codes, lens, mn, pp, cp, sp)
+
+    return jax.vmap(one)(init_b, plogt_b)  # [C, B]
+
+
+class XlaMappedScorer:
+    """Device-resident XLA candidate scorer over precomputed positions — the
+    production fallback path when the Pallas packed kernel is unavailable.
+
+    Two fixes over calling :func:`candidate_log_likelihoods` per chunk
+    (measured at the n4 k=41 operating point, B=97 reads, L=10k, A=96, D=3):
+
+    * the read/mapping/position streams (~1.7 GB at production widths) are
+      uploaded ONCE at construction instead of re-uploaded per 32-candidate
+      launch — the re-upload was both the dominant per-chunk cost (2.2
+      s/candidate) and the host-OOM driver (rc=137) of the first K=10k run
+      (23 launches x 1.7 GB of transient pinned host copies per scoring
+      batch);
+    * chunks score with the scaled-linear kernel
+      (:func:`dbgphmm_tpu.ops.sparse.forward_scores_mapped_linear` — pure
+      multiply-add per step, one log per read for the renorm offset) and
+      only candidates with an underflowed read (forced across a copy-0 cut)
+      rescore with the log-space kernel, mirroring the Pallas scorer's
+      linear/log split.
+
+    Crash handling stays with the caller: :meth:`score_chunk` raises on a
+    worker fault so ``score_candidates`` can retry / isolate / dump.
+    """
+
+    def __init__(self, template, positions, codes, lens, dtype=None,
+                 sub: int = 32):
+        from .forward import default_dtype
+
+        self.template = template
+        self.dtype = default_dtype() if dtype is None else dtype
+        self.sub = sub
+        self._base = None  # built on first score (needs a copy-num vector)
+        self._nb = self._db = None
+        self.lens_np = np.asarray(lens)
+        self.codes_d = jnp.asarray(np.asarray(codes))
+        self.lens_d = jnp.asarray(self.lens_np)
+        self.mn_d = jnp.asarray(np.asarray(positions.map_nodes))
+        self.pp_d = jnp.asarray(np.asarray(positions.prev_pos))
+        self.cp_d = jnp.asarray(np.asarray(positions.cur_pos))
+        self.sp_d = jnp.asarray(np.asarray(positions.self_pos))
+
+    def _ensure_base(self, cn0):
+        if self._base is not None:
+            return
+        from .forward import pad_model, to_device
+
+        m = pad_model(self.template.model_for(cn0))
+        self._nb, self._db = m.parent_idx.shape
+        self._n = self.template.emission.shape[0]
+        self._base = to_device(m, dtype=self.dtype, pad=False)
+
+    def _stack(self, chunk):
+        """Stack per-candidate (init, parent_logt) padded to [sub, nb(, db)]."""
+        n, db = self._n, self._db
+        init = np.full((self.sub, self._nb), -np.inf, dtype=np.float64)
+        plogt = np.full((self.sub, self._nb, db), -np.inf, dtype=np.float64)
+        for j, cn in enumerate(chunk):
+            mdl = self.template.model_for(cn)
+            init[j, :n] = mdl.init_logp
+            plogt[j, :n, : mdl.parent_logt.shape[1]] = mdl.parent_logt
+        for j in range(len(chunk), self.sub):  # pad slots repeat candidate 0
+            init[j] = init[0]
+            plogt[j] = plogt[0]
+        return (jnp.asarray(init, dtype=self.dtype),
+                jnp.asarray(plogt, dtype=self.dtype))
+
+    def _totals(self, per_read: np.ndarray) -> np.ndarray:
+        valid = self.lens_np > 0
+        return np.where(valid[None, :], per_read, 0.0).sum(axis=1)
+
+    def score_chunk(self, chunk) -> np.ndarray:
+        """Total log P(R|X) for up to ``sub`` candidates; raises on worker
+        faults (caller owns the recovery ladder)."""
+        self._ensure_base(chunk[0])
+        init_d, plogt_d = self._stack(chunk)
+        args = (self._base, init_d, plogt_d, self.codes_d, self.lens_d,
+                self.mn_d, self.pp_d, self.cp_d, self.sp_d)
+        per_read = np.asarray(
+            _scores_vmapped_pos_linear_slim(*args), dtype=np.float64
+        )[: len(chunk)]
+        totals = self._totals(per_read)
+        bad = ~np.isfinite(totals)
+        if bad.any():
+            # reads forced across copy-0 cuts underflow the linear kernel;
+            # their exact very-low scores drive the early hill climb, so
+            # rescore those candidates with the log-space kernel
+            idx = np.flatnonzero(bad)
+            sub_chunk = [chunk[int(i)] for i in idx]
+            init_d, plogt_d = self._stack(sub_chunk)
+            per_read = np.asarray(
+                _scores_vmapped_pos_log_slim(
+                    self._base, init_d, plogt_d, self.codes_d, self.lens_d,
+                    self.mn_d, self.pp_d, self.cp_d, self.sp_d
+                ),
+                dtype=np.float64,
+            )[: len(sub_chunk)]
+            totals[idx] = self._totals(per_read)
+        return totals
+
+
 def _pad_reads_axis(arr: np.ndarray, m: int, fill):
     """Pad axis 0 (reads) to a multiple of m."""
     pad = (-arr.shape[0]) % m
