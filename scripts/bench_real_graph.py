@@ -34,8 +34,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 def main():
-    dbg_path, ds_path = sys.argv[1], sys.argv[2]
-    map_path = sys.argv[3] if len(sys.argv) > 3 else None
+    # --xla: bench the device-resident XLA fallback scorer instead of the
+    # packed Pallas kernel (the path production currently lives on);
+    # --cands FILE.npz: score the exact dumped candidate batch instead of a
+    # fresh rescue sweep
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    use_xla = "--xla" in sys.argv
+    cands_file = None
+    for a in sys.argv[1:]:
+        if a.startswith("--cands="):
+            cands_file = a.split("=", 1)[1]
+    dbg_path, ds_path = args[0], args[1]
+    map_path = args[2] if len(args) > 2 else None
 
     from dbgphmm_tpu.e2e import Dataset
     from dbgphmm_tpu.multi_dbg import output as out
@@ -72,26 +82,47 @@ def main():
     )
     print(f"# positions {time.time()-t0:.1f}s (width={width})")
     t0 = time.time()
-    scorer = PallasMappedScorer(
-        template, positions, codes, lens, template.params, space="packed"
-    )
-    print(f"# streams {time.time()-t0:.1f}s "
-          f"({len(scorer.chunks)} read chunk(s))")
+    if use_xla:
+        from dbgphmm_tpu.ops.batch import XlaMappedScorer
 
-    # rescue-style distinct candidates around the checkpoint copy numbers
-    freqs = mappings.to_node_freqs(dbg.n_edges_full())
-    coverage = sum(len(r) for r in reads) / max(1, ds.genome_size())
-    t0 = time.time()
-    resc = to_rescue_neighbors(dbg, freqs, coverage)
-    cands = [dbg.get_copy_nums()] + [cn for cn, _i in resc]
-    # deduplicate
-    seen, uniq = set(), []
-    for cn in cands:
-        k = tuple(cn)
-        if k not in seen:
-            seen.add(k)
-            uniq.append(cn)
-    print(f"# {len(uniq)} distinct candidates (rescue sweep {time.time()-t0:.1f}s)")
+        xsc = XlaMappedScorer(template, positions, codes, lens)
+
+        class _Shim:
+            def scores_detailed(self, cands):
+                out = np.concatenate([
+                    xsc.score_chunk(cands[i : i + xsc.sub])
+                    for i in range(0, len(cands), xsc.sub)
+                ])
+                return out, np.ones(len(cands), dtype=bool)
+
+        scorer = _Shim()
+        print(f"# xla scorer streams uploaded {time.time()-t0:.1f}s")
+    else:
+        scorer = PallasMappedScorer(
+            template, positions, codes, lens, template.params, space="packed"
+        )
+        print(f"# streams {time.time()-t0:.1f}s "
+              f"({len(scorer.chunks)} read chunk(s))")
+
+    if cands_file:
+        arr = np.load(cands_file)["candidates"]
+        uniq = [c.tolist() for c in arr]
+        print(f"# {len(uniq)} candidates from {cands_file}")
+    else:
+        # rescue-style distinct candidates around the checkpoint copy numbers
+        freqs = mappings.to_node_freqs(dbg.n_edges_full())
+        coverage = sum(len(r) for r in reads) / max(1, ds.genome_size())
+        t0 = time.time()
+        resc = to_rescue_neighbors(dbg, freqs, coverage)
+        cands = [dbg.get_copy_nums()] + [cn for cn, _i in resc]
+        # deduplicate
+        seen, uniq = set(), []
+        for cn in cands:
+            k = tuple(cn)
+            if k not in seen:
+                seen.add(k)
+                uniq.append(cn)
+        print(f"# {len(uniq)} distinct candidates (rescue sweep {time.time()-t0:.1f}s)")
     if len(uniq) < 2:
         # perturb copies to still measure distinct-candidate throughput
         rng = np.random.default_rng(0)
@@ -116,7 +147,8 @@ def main():
           f"({len(uniq)} candidates x {len(reads)} reads)")
 
     rec = {
-        "metric": f"real_graph_scorings_per_sec_k{dbg.k}",
+        "metric": f"real_graph_scorings_per_sec_k{dbg.k}"
+                  + ("_xla" if use_xla else ""),
         "value": round(thr, 1),
         "unit": f"10kb-read scorings/s (n={dbg.n_edges_full()} full edges, "
                 f"NC={dbg.n_edges_compact()}, width={width}, "
