@@ -146,7 +146,7 @@ class XlaMappedScorer:
     """
 
     def __init__(self, template, positions, codes, lens, dtype=None,
-                 sub: int = 32):
+                 sub: int = 32, bucket: bool = True):
         from .forward import default_dtype
 
         self.template = template
@@ -155,12 +155,42 @@ class XlaMappedScorer:
         self._base = None  # built on first score (needs a copy-num vector)
         self._nb = self._db = None
         self.lens_np = np.asarray(lens)
-        self.codes_d = jnp.asarray(np.asarray(codes))
-        self.lens_d = jnp.asarray(self.lens_np)
-        self.mn_d = jnp.asarray(np.asarray(positions.map_nodes))
-        self.pp_d = jnp.asarray(np.asarray(positions.prev_pos))
-        self.cp_d = jnp.asarray(np.asarray(positions.cur_pos))
-        self.sp_d = jnp.asarray(np.asarray(positions.self_pos))
+        self.n_reads = len(self.lens_np)
+        codes = np.asarray(codes)
+        mn = np.asarray(positions.map_nodes)
+        pp = np.asarray(positions.prev_pos)
+        cp = np.asarray(positions.cur_pos)
+        sp = np.asarray(positions.self_pos)
+
+        # read-width bucketing: mapping widths are bursty (n4 k=40: per-read
+        # max width median 5, but 21/97 repeat-crossing reads hit the 128
+        # cap) and the dense [B, L, A] kernel pays max width for every read.
+        # Valid slots are a logp-sorted prefix and every position index
+        # points at a valid slot, so slicing A down to a read's own max
+        # width is exact.  Each bucket also trims L to its longest read.
+        A_full = mn.shape[2]
+        widths = (mn >= 0).sum(axis=2).max(axis=1)  # [B] per-read max width
+        bounds = [w for w in (16, 32, 64) if w < A_full] + [A_full]
+        if not bucket:
+            bounds = [A_full]
+        self.buckets = []
+        for bi, Ab in enumerate(bounds):
+            lo = 0 if bi == 0 else bounds[bi - 1]
+            rb = np.flatnonzero((widths > lo if bi else widths >= 0)
+                                & (widths <= Ab))
+            if rb.size == 0:
+                continue
+            Lb = int(self.lens_np[rb].max())
+            self.buckets.append({
+                "idx": rb,
+                "lens_np": self.lens_np[rb],
+                "codes": jnp.asarray(codes[rb, :Lb]),
+                "lens": jnp.asarray(self.lens_np[rb]),
+                "mn": jnp.asarray(mn[rb, :Lb, :Ab]),
+                "pp": jnp.asarray(pp[rb, :Lb, :Ab]),
+                "cp": jnp.asarray(cp[rb, :Lb, :Ab]),
+                "sp": jnp.asarray(sp[rb, :Lb, :Ab]),
+            })
 
     def _ensure_base(self, cn0):
         if self._base is not None:
@@ -187,6 +217,18 @@ class XlaMappedScorer:
         return (jnp.asarray(init, dtype=self.dtype),
                 jnp.asarray(plogt, dtype=self.dtype))
 
+    def _run(self, fn, init_d, plogt_d, n_out: int) -> np.ndarray:
+        """Run a vmapped kernel over every bucket -> per-read [n_out, B]."""
+        per_read = np.empty((n_out, self.n_reads), dtype=np.float64)
+        for b in self.buckets:
+            out = np.asarray(
+                fn(self._base, init_d, plogt_d, b["codes"], b["lens"],
+                   b["mn"], b["pp"], b["cp"], b["sp"]),
+                dtype=np.float64,
+            )[:n_out]
+            per_read[:, b["idx"]] = out
+        return per_read
+
     def _totals(self, per_read: np.ndarray) -> np.ndarray:
         valid = self.lens_np > 0
         return np.where(valid[None, :], per_read, 0.0).sum(axis=1)
@@ -196,11 +238,9 @@ class XlaMappedScorer:
         faults (caller owns the recovery ladder)."""
         self._ensure_base(chunk[0])
         init_d, plogt_d = self._stack(chunk)
-        args = (self._base, init_d, plogt_d, self.codes_d, self.lens_d,
-                self.mn_d, self.pp_d, self.cp_d, self.sp_d)
-        per_read = np.asarray(
-            _scores_vmapped_pos_linear_slim(*args), dtype=np.float64
-        )[: len(chunk)]
+        per_read = self._run(
+            _scores_vmapped_pos_linear_slim, init_d, plogt_d, len(chunk)
+        )
         totals = self._totals(per_read)
         bad = ~np.isfinite(totals)
         if bad.any():
@@ -210,13 +250,9 @@ class XlaMappedScorer:
             idx = np.flatnonzero(bad)
             sub_chunk = [chunk[int(i)] for i in idx]
             init_d, plogt_d = self._stack(sub_chunk)
-            per_read = np.asarray(
-                _scores_vmapped_pos_log_slim(
-                    self._base, init_d, plogt_d, self.codes_d, self.lens_d,
-                    self.mn_d, self.pp_d, self.cp_d, self.sp_d
-                ),
-                dtype=np.float64,
-            )[: len(sub_chunk)]
+            per_read = self._run(
+                _scores_vmapped_pos_log_slim, init_d, plogt_d, len(sub_chunk)
+            )
             totals[idx] = self._totals(per_read)
         return totals
 

@@ -21,7 +21,35 @@ PY = sys.executable
 ME = Path(__file__).resolve().parent / "repro_packed_prod.py"
 
 
+def wait_healthy(max_wait=900):
+    """Block until a fresh process can run a trivial op on the chip.
+
+    A hung packed launch WEDGES the worker for every client until the
+    hanging client process dies plus a cooldown (~5 min observed round 4);
+    probing during the wedge classifies innocent ranges as HANG."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        try:
+            r = subprocess.run(
+                [PY, "-c",
+                 "import jax, jax.numpy as jnp, numpy as np;"
+                 "print(int(np.asarray(jnp.arange(8)+1).sum()))"],
+                timeout=120, capture_output=True, text=True,
+            )
+            if r.returncode == 0 and "36" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"  (worker unhealthy, cooling down... {time.time()-t0:.0f}s)",
+              flush=True)
+        time.sleep(60)
+    return False
+
+
 def probe(d, f, lo, hi, timeout):
+    if not wait_healthy():
+        print(f"== [{lo},{hi}) -> SKIP (worker never recovered)", flush=True)
+        return "SKIP"
     t0 = time.time()
     try:
         r = subprocess.run(
@@ -51,14 +79,23 @@ def main():
     a = ap.parse_args()
 
     lo, hi = a.lo, a.hi
-    # find the first failing 32-range, then narrow inside it
+    # find the first failing 32-range, then narrow inside it.  A failure is
+    # only trusted if it REPRODUCES on a healthy worker (the fault has a
+    # stochastic hang mode that can wedge the worker and poison the next
+    # probe, so single observations are unreliable).
     fail = None
     for c0 in range(lo, hi, 32):
         c1 = min(c0 + 32, hi)
         st = probe(a.dir, a.file, c0, c1, a.timeout)
         if st != "PASS":
-            fail = (c0, c1)
-            break
+            st2 = probe(a.dir, a.file, c0, c1, a.timeout)
+            if st2 != "PASS":
+                fail = (c0, c1)
+                break
+            print(f"== [{c0},{c1}) failure did NOT reproduce — transient",
+                  flush=True)
+        if st == "SKIP":
+            return
     if fail is None:
         print("== all ranges PASS — fault needs whole-batch context",
               flush=True)

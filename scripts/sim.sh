@@ -113,11 +113,14 @@ run_dbgphmm() {  # ref: sim.sh:152-163
 }
 
 run_n4() {  # ref: sim.sh:184-214 (U=10000 N=4 E=2000 P=2, C=10 L=10000)
-  local KEY=$1 H=${2:-0.01} H0=${3:-0.0002} p=0.0003
+  local KEY=$1 H=${2:-0.01} H0=${3:-0.0002} p=0.0003 SEED=${4:-1}
+  # read seed default 1: seed 0's sample leaves one het region covered
+  # once, so min_count=2 cleaning (reference semantics) loses 27 true
+  # k-mers and the run cannot be truth-graded (docs/ACCURACY_NOTES round 4)
   mkdir -p "$KEY"
   DBG sim-draft -k 40 -C 10 -L 10000 -p "$p" --fragment \
     --unit-size 10000 --n-unit 4 --end-length 2000 --div-hap "$H" \
-    --div-init "$H0" -P 2 -o "$KEY/data"
+    --div-init "$H0" -P 2 --read-seed "$SEED" -o "$KEY/data"
   run_hifiasm "$KEY"
   run_lja "$KEY"
   run_verkko "$KEY"

@@ -73,6 +73,16 @@ def test_xla_scorer_matches_positions_kernel(case):
     assert np.isfinite(got).all()
     assert got[-1] < got[0] - 100  # the cut candidate scores far below base
 
+    # the fixture's per-read max widths span 6..103, so the read-width
+    # bucketing (16/32/64/cap) is genuinely exercised; the unbucketed
+    # scorer must agree exactly
+    assert len(sc.buckets) >= 3
+    flat = XlaMappedScorer(tpl, pos, codes, lens, sub=4, bucket=False)
+    got_flat = np.concatenate(
+        [flat.score_chunk(cands[i : i + 4]) for i in range(0, len(cands), 4)]
+    )
+    np.testing.assert_allclose(got, got_flat, rtol=0, atol=1e-6)
+
 
 def test_xla_scorer_in_sample_posterior(case):
     """sample_posterior wired with the xla_scorer reaches the same optimum
