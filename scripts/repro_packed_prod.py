@@ -185,6 +185,57 @@ def stage_probe(d, kind, n, file=None, lo=None, hi=None):
     print("PROBE_OK")
 
 
+def stage_prod(d, file=None):
+    """Replicate the production k=40 in-process sequence exactly:
+    on-chip mapping decode -> positions -> scorer build -> initial score ->
+    the full rescue batch.  Round-4 finding: the dumped crash batch passes
+    when scored in a fresh process (every 32-range AND the whole batch),
+    while production crashed 3/3 — the distinguishing variable is the
+    device work that precedes scoring, which this stage reproduces."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    from dbgphmm_tpu.multi_dbg.posterior import generate_mappings
+    from dbgphmm_tpu.ops.forward import pad_reads
+    from dbgphmm_tpu.ops.sparse import pad_mappings, precompute_positions
+    from dbgphmm_tpu.phmm.params import PHMMParams
+    from dbgphmm_tpu.phmm.template import make_template
+    import dbgphmm_tpu.ops.pallas_mapped as pm
+
+    dbg, reads = load_case(d)
+    params = PHMMParams.uniform(0.0003)
+    t0 = time.time()
+    m = generate_mappings(dbg, params, reads)
+    print(f"# decode {time.time()-t0:.1f}s", flush=True)
+    codes, lens = pad_reads(list(reads))
+    tpl = make_template(dbg, params)
+    width = max((n.shape[1] for n in m.nodes if n.size), default=8)
+    t0 = time.time()
+    mn = pad_mappings(m, codes.shape[1], width)
+    positions = precompute_positions(
+        mn, tpl.parent_idx, parent_exists=tpl.parent_exists
+    )
+    print(f"# positions {time.time()-t0:.1f}s (width={width})", flush=True)
+    t0 = time.time()
+    scorer = pm.PallasMappedScorer(
+        tpl, positions, codes, lens, tpl.params, space="packed"
+    )
+    print(f"# scorer {time.time()-t0:.1f}s", flush=True)
+    base = list(dbg.get_copy_nums())
+    t0 = time.time()
+    s0, ok0 = scorer.scores_detailed([base])
+    print(f"# initial score {time.time()-t0:.1f}s p={s0[0]:.1f} ok={ok0[0]}",
+          flush=True)
+    cands = make_cands(base, "file", 0, file=file) if file else [base] * 64
+    t0 = time.time()
+    sums, ok = scorer.scores_detailed(cands)
+    print(f"# batch of {len(cands)} scored {time.time()-t0:.1f}s "
+          f"finite={np.isfinite(sums).mean():.3f} ok={ok.mean():.3f}",
+          flush=True)
+    print("PROD_OK", flush=True)
+
+
 def orchestrate(d):
     py = sys.executable
     me = str(Path(__file__).resolve())
@@ -223,5 +274,7 @@ if __name__ == "__main__":
         stage_prep(a.dir)
     elif a.stage == "probe":
         stage_probe(a.dir, a.cands, a.n, file=a.file, lo=a.lo, hi=a.hi)
+    elif a.stage == "prod":
+        stage_prod(a.dir, file=a.file)
     else:
         orchestrate(a.dir)
