@@ -494,6 +494,8 @@ def _revive_backend(attempts: int = 1, wait_s: float = 5.0) -> bool:
     One probe is therefore the right ladder rung: it catches platforms
     where revival works, costs seconds where it doesn't, and the
     supervisor restart (scripts/sim.sh run_dbgphmm) handles the rest."""
+    from ..ops.pallas_mapped import _launch_watchdog
+
     for i in range(attempts):
         try:
             import jax
@@ -501,7 +503,10 @@ def _revive_backend(attempts: int = 1, wait_s: float = 5.0) -> bool:
             import jax.numpy as jnp
 
             jexb.clear_backends()
-            np.asarray(jnp.zeros(8) + 1)  # probe the revived backend
+            # a wedged worker can make this probe BLOCK rather than raise
+            # (the hang mode) — bound it or the ladder never advances
+            with _launch_watchdog(60):
+                np.asarray(jnp.zeros(8) + 1)  # probe the revived backend
             return True
         except Exception as e:  # pragma: no cover - backend-specific
             print(f"[posterior] backend revive attempt {i} failed "

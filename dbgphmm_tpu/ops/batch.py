@@ -219,13 +219,19 @@ class XlaMappedScorer:
 
     def _run(self, fn, init_d, plogt_d, n_out: int) -> np.ndarray:
         """Run a vmapped kernel over every bucket -> per-read [n_out, B]."""
+        from .pallas_mapped import _launch_watchdog, _watchdog_seconds
+
         per_read = np.empty((n_out, self.n_reads), dtype=np.float64)
         for b in self.buckets:
-            out = np.asarray(
-                fn(self._base, init_d, plogt_d, b["codes"], b["lens"],
-                   b["mn"], b["pp"], b["cp"], b["sp"]),
-                dtype=np.float64,
-            )[:n_out]
+            # the platform fault's hang mode (docs/PERF_NOTES round 4) can
+            # wedge ANY long device call, not just packed launches — bound
+            # it so the supervisor sees a process exit, not a silent stall
+            with _launch_watchdog(_watchdog_seconds()):
+                out = np.asarray(
+                    fn(self._base, init_d, plogt_d, b["codes"], b["lens"],
+                       b["mn"], b["pp"], b["cp"], b["sp"]),
+                    dtype=np.float64,
+                )[:n_out]
             per_read[:, b["idx"]] = out
         return per_read
 

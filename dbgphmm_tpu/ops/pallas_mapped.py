@@ -33,7 +33,11 @@ D axis split out so every VMEM block is a clean [.., B, A] tile:
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import os
+import signal
+import threading
 from typing import NamedTuple, Tuple
 
 import jax
@@ -41,6 +45,44 @@ import jax.numpy as jnp
 import numpy as np
 
 from .forward import DeviceModel
+
+
+class PackedLaunchTimeout(RuntimeError):
+    """A packed launch never returned.  The round-3/4 production fault has
+    a HANG mode: the TPU worker process crashed or wedged mid-launch and
+    the client blocks forever, which would stall a K=10k run silently
+    (the supervisor only sees process exits).  The message deliberately
+    contains "worker process crashed" so posterior._is_worker_crash routes
+    it through the crash ladder (dump batch -> disable scorer -> restart)."""
+
+
+@contextlib.contextmanager
+def _launch_watchdog(seconds: int):
+    """SIGALRM bound on a blocking device call (main thread only; a launch
+    from another thread runs unguarded rather than failing)."""
+    if seconds <= 0 or threading.current_thread() is not threading.main_thread():
+        yield
+        return
+
+    def _on_alarm(signum, frame):
+        raise PackedLaunchTimeout(
+            f"packed launch exceeded {seconds}s — TPU worker process "
+            "crashed or wedged (hang mode; see docs/PERF_NOTES round 4)"
+        )
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _watchdog_seconds() -> int:
+    # generous default: the first launch pays the remote Mosaic compile,
+    # which can take minutes cold
+    return int(os.environ.get("DBGPHMM_PALLAS_TIMEOUT", "900"))
 
 NEG = -jnp.inf
 
@@ -1347,7 +1389,7 @@ class PallasMappedScorer:
         streams = self.chunks[ci]
         # trace with x64 disabled: the CLI enables jax_enable_x64 globally,
         # but Mosaic rejects 64-bit types; every input here is already 32-bit
-        with jax.enable_x64(False):
+        with _launch_watchdog(_watchdog_seconds()), jax.enable_x64(False):
             if self.space == "packed":
                 A = streams.emis.shape[2]
                 P_ = max(1, 128 // A)
