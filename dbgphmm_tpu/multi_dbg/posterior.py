@@ -580,16 +580,25 @@ def score_candidates(
         try:
             lls, ok = pallas_scorer.scores_detailed(candidates)
             if not ok.all():
-                # rescore blocked candidates with the log-space kernel: the
-                # linear-space kernel underflows reads forced across copy-0
-                # cuts, but their exact very-low scores drive the early climb
+                # rescore blocked candidates with the Pallas LOG-space
+                # sibling kernel: the linear-space packed kernel underflows
+                # reads forced across copy-0 cuts, but their exact very-low
+                # scores drive the early climb.  The sibling shares the
+                # packed scorer's streams and device buffers (space only
+                # selects the kernel), so at early k — where most of the
+                # base's 0-copy edges make EVERY candidate trip the ok
+                # flag — the rescue costs ~2.4x packed, not the ~60x of
+                # the XLA positions path it replaces.
                 bad = [i for i, o in enumerate(ok) if not o]
-                models = _phmm_models_for_candidates(
-                    dbg, params, [candidates[i] for i in bad], template
-                )
-                exact = candidate_log_likelihoods(
-                    models, codes, lens, dtype=dtype, positions=positions,
-                    mesh=mesh,
+                log_scorer = getattr(pallas_scorer, "_log_sibling", None)
+                if log_scorer is None:
+                    import copy
+
+                    log_scorer = copy.copy(pallas_scorer)
+                    log_scorer.space = "log"
+                    pallas_scorer._log_sibling = log_scorer
+                exact, _ = log_scorer.scores_detailed(
+                    [candidates[i] for i in bad]
                 )
                 for j, i in enumerate(bad):
                     lls[i] = exact[j]
