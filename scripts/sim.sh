@@ -130,6 +130,19 @@ run_n4() {  # ref: sim.sh:184-214 (U=10000 N=4 E=2000 P=2, C=10 L=10000)
   run_dbgphmm "$KEY" "$p"
 }
 
+run_kir() {  # ref: scripts/kir/run.sh:22-24 — KIR-class scale: G=360kb,
+  # HiFi p=0.0003, 10-20x, K_MAX=20,000.  Synthetic stand-in (the real KIR
+  # haplotypes are not in this image): 8x20kb tandem units + 2kb unique
+  # ends, diploid 1% divergence, C=15 (docs/PERF_NOTES round 3 capacity
+  # study used the same config).
+  local KEY=$1 H=${2:-0.01} H0=${3:-0.0002} p=0.0003 K=${4:-20000}
+  mkdir -p "$KEY"
+  DBG sim-draft -k 40 -C 15 -L 10000 -p "$p" --fragment \
+    --unit-size 20000 --n-unit 8 --end-length 2000 --div-hap "$H" \
+    --div-init "$H0" -P 2 --read-seed 1 -o "$KEY/data"
+  run_dbgphmm "$KEY" "$p" "$K"
+}
+
 run_n10() {  # ref: sim.sh:216-228 (U=2000 N=10)
   local KEY=$1 H=${2:-0.01} H0=${3:-0.0002} p=0.0003
   mkdir -p "$KEY"

@@ -320,9 +320,14 @@ def test_packed_kernel_multi_chunk_eff_table(setup):
 
     el = np.zeros(NC_NEW, dtype=np.float32)
     el[128 : 128 + streams.nc_pad] = streams.emittable_len
+    # the shifted id space also shifts the full-assignment length table
+    # (round 4: _eff_matrix derives totals from emittable_len_full)
+    el_full = np.zeros(128 + streams.emittable_len_full.shape[0],
+                       dtype=np.float32)
+    el_full[128:] = streams.emittable_len_full
     shifted = streams._replace(
         numce=shift_ce(streams.numce), dence=shift_ce(streams.dence),
-        nc_pad=NC_NEW, emittable_len=el,
+        nc_pad=NC_NEW, emittable_len=el, emittable_len_full=el_full,
     )
     cands_shifted = [[0] * 128 + list(cn) for cn in cands]
 
