@@ -15,6 +15,7 @@
 //
 // Build: g++ -O3 -shared -fPIC flow.cpp -o libdbgflow.so
 
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -181,14 +182,55 @@ struct Solver {
                 best = v;
             }
         if (best == -1) return false;
-        // apply path
+        // The pred graph of a Bellman-Ford over NEGATIVE marginal costs can
+        // contain cycles: walking pred from `best` then never reaches a
+        // source and spins forever — the likely k=43 production stall
+        // (infinite walk at 100% CPU inside the old unit-push).  Detect by
+        // bounding the walk at n steps; on a cycle, cancel one unit around
+        // it (a genuine negative cycle: progress in cost, excess unchanged).
+        {
+            int v = best;
+            int steps = 0;
+            while (pred_edge[v] != -1 && steps <= n) {
+                v = pred_node[v];
+                steps++;
+            }
+            if (steps > n) {
+                // land on the cycle and cancel one unit around it
+                int w = best;
+                for (int i = 0; i < n; i++) w = pred_node[w];
+                int u = w;
+                do {
+                    flow[pred_edge[u]] += pred_delta[u];
+                    u = pred_node[u];
+                } while (u != w);
+                return true;
+            }
+        }
+        // bottleneck along the path: feasibility repair pushes as many
+        // units as the path allows per Bellman-Ford instead of one —
+        // a blown-up init otherwise needs one O(n*m) pass PER UNIT.
+        // Marginal costs shift as flow moves, so the result may be locally
+        // suboptimal; the budgeted re-cancel phase after repair restores
+        // optimality where time allows.
         int v = best;
+        int64_t bottleneck = -excess[best];
         while (pred_edge[v] != -1) {
-            flow[pred_edge[v]] += pred_delta[v];
+            const Edge& e = edges[pred_edge[v]];
+            int64_t avail = pred_delta[v] > 0 ? e.capacity - flow[pred_edge[v]]
+                                              : flow[pred_edge[v]] - e.demand;
+            if (avail < bottleneck) bottleneck = avail;
             v = pred_node[v];
         }
-        excess[v] -= 1;      // v is the reached source
-        excess[best] += 1;
+        if (excess[v] < bottleneck) bottleneck = excess[v];
+        if (bottleneck < 1) bottleneck = 1;
+        int u = best;
+        while (pred_edge[u] != -1) {
+            flow[pred_edge[u]] += pred_delta[u] * bottleneck;
+            u = pred_node[u];
+        }
+        excess[u] -= bottleneck;  // u is the reached source
+        excess[best] += bottleneck;
         return true;
     }
 
@@ -205,8 +247,20 @@ struct Solver {
             adj[edges[i].src].push_back({i, +1});
             adj[edges[i].dst].push_back({i, -1});
         }
+        // Optimality phases are WALL-CLOCK bounded: cycle canceling works
+        // one unit per O(n*m) Bellman-Ford, and a pathological instance
+        // (e.g. blown-up freqs) needs millions of cancellations — the
+        // round-4 production run stalled >1h here.  Feasibility (phase 2)
+        // always runs to completion; a budget-truncated result is feasible
+        // and near-optimal, which is all the MSE re-init heuristic needs.
+        const double budget_s = 120.0;
+        const auto t0 = std::chrono::steady_clock::now();
+        auto elapsed = [&]() {
+            return std::chrono::duration<double>(
+                std::chrono::steady_clock::now() - t0).count();
+        };
         // 1. optimality on the (possibly unbalanced) init
-        for (long guard = 0; guard < 4000000; guard++)
+        while (elapsed() < budget_s * 0.5)
             if (!cancel_one_negative_cycle()) break;
         // 2. repair conservation
         std::vector<int64_t> excess(n, 0);
@@ -219,10 +273,13 @@ struct Solver {
             for (int v = 0; v < n; v++)
                 if (excess[v] > 0) surplus = true;
             if (!surplus) break;
+            if (elapsed() > budget_s * 0.5 + 300.0) return 1;  // give up:
+            // repair is not converging (cycle-canceling churn); the caller
+            // retries with a clamped instance
             if (!push_one_unit(excess)) return 1;  // infeasible
         }
         // 3. safety re-check
-        for (long guard = 0; guard < 1000000; guard++)
+        while (elapsed() < budget_s)
             if (!cancel_one_negative_cycle()) break;
         return 0;
     }

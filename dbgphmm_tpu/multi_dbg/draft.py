@@ -197,6 +197,20 @@ def min_squared_error_copy_nums_from_freqs(
         dbg, freqs, coverage, tc, n_haplotypes, False, "V4"
     )
     copy_nums = flow_solve(net)
+    if copy_nums is None:
+        # infeasible or solver gave up (pathological freqs; round 4): retry
+        # once with freqs clamped to a sane per-node bound — expected node
+        # usage cannot exceed a few visits per read
+        import numpy as np
+
+        f = np.asarray(freqs, dtype=float)
+        cap = max(3.0 * coverage, 1.0) * 3.0
+        print(f"[draft] mse flow solve failed; retrying with freqs clamped "
+              f"to {cap:.1f} (max was {f.max(initial=0):.1f})")
+        net = mse_network_from_freqs(
+            dbg, np.minimum(f, cap), coverage, tc, n_haplotypes, False, "V4"
+        )
+        copy_nums = flow_solve(net)
     assert copy_nums is not None, "mse flow network cannot be solved"
     return copy_nums[: dbg.n_edges_compact()]
 

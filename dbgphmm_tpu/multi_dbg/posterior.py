@@ -320,6 +320,15 @@ def generate_mappings(
     if anchor is None:
         anchor = hint.read_logps
     bad = ~np.isfinite(read_logps)
+    # absolute floor: a real alignment never scores below ~ -2 nats/base
+    # (p_mismatch ~ -8 applies to a small fraction of bases); a constrained
+    # decode whose hint lost the read's path lands near the begin-re-entry
+    # chain at ~ -9.3/base.  This fires even when BOTH relative references
+    # are missing (e.g. a checkpoint restart loads maps with
+    # read_logps=None) or themselves degraded (round-4 k=43 stall).
+    lens_np = np.asarray([n.shape[0] for n in nodes], dtype=np.float64)
+    with np.errstate(invalid="ignore"):
+        bad |= read_logps < -5.0 * np.maximum(lens_np, 1.0)
     for ref_lp in (hint.read_logps, anchor):
         if ref_lp is not None:
             ref_lp = np.asarray(ref_lp, dtype=np.float64)
@@ -332,9 +341,10 @@ def generate_mappings(
                   else read_logps.copy())
     if bad.any():
         idx = np.flatnonzero(bad)
-        if verbose:
-            print(f"[mappings] hint gate: regenerating {len(idx)}/"
-                  f"{n_reads} reads from scratch")
+        # always announce: a firing gate marks hint degradation (a purge
+        # broke read paths) and explains the from-scratch decode cost
+        print(f"[mappings] hint gate: regenerating {len(idx)}/"
+              f"{n_reads} reads from scratch")
         fresh = generate_mappings(
             dbg, params, [reads[int(i)] for i in idx],
             n_active=n_active, dtype=dtype, max_ratio=max_ratio,
@@ -984,7 +994,23 @@ def infer_posterior_by_extension(
         )
         log(f"mappings {'refined' if hint_m is not None else 'regenerated'} "
             f"in {time.time()-t0:.1f}s")
+        t0 = time.time()
         freqs = mappings.to_node_freqs(dbg.n_edges_full())
+        # sanity guard: each read-base contributes <= ~1 of probability
+        # mass, so node freqs are bounded by ~n_reads.  A blown-up freq
+        # means the refined mapping is junk (degraded hint the gate missed)
+        # — and it poisons the MSE flow instance below into hours of
+        # unit-granularity cycle canceling (round-4 k=43 stall).  Fall back
+        # to a from-scratch decode instead.
+        B = len(reads)
+        if freqs.max(initial=0.0) > 3.0 * B:
+            print(f"[infer] mapping freqs blown up (max {freqs.max():.0f} "
+                  f"> 3x{B}); regenerating mappings from scratch")
+            mappings = generate_mappings(
+                dbg, param_error, reads, dtype=dtype, mesh=mesh,
+                verbose=verbose,
+            )
+            freqs = mappings.to_node_freqs(dbg.n_edges_full())
         # reference hardcodes Some(2) haplotypes here (posterior.rs:798);
         # we only fix the count when a terminal node exists
         nh = n_haplotypes if n_haplotypes is not None else 2
@@ -992,6 +1018,7 @@ def infer_posterior_by_extension(
             nh = None
         cn = min_squared_error_copy_nums_from_freqs(dbg, freqs, coverage, nh)
         dbg.set_copy_nums(cn)
+        log(f"copy nums re-initialized from freqs in {time.time()-t0:.1f}s")
 
     # final full-neighborhood sampling with the error params
     mappings = generate_mappings(dbg, param_error, reads, dtype=dtype, mesh=mesh)
