@@ -114,11 +114,24 @@ DENSE_COMPUTE_MAX_NODES = 32768  # up to here the mapping forward pass runs
 # re-ranks from the full table every step so weak true cells recover.
 # Beyond this node count (large k) the graph is nearly linear and the
 # evolving-frontier kernel is accurate and much cheaper.
-# Bound lowered 65536 -> 32768 in round 2: dense [B, n, D>=4] scans fault
-# the v5e runtime somewhere in (32768, 65536] (reproducible worker crash;
-# see docs/ACCURACY_NOTES.md round-2 entry); 32768 is on-chip validated,
-# and the frontier decode is validated against a CPU-f64 dense oracle at
-# n=74k (scripts/validate_large_n_mapping.py).
+# Bound lowered 65536 -> 32768 in round 2 after reproducible worker
+# crashes.  Round-4 measurements (VERDICT r3 item 6; on-chip, subprocess
+# isolated):
+#   * the minimal [B, n, D] gather-scan repro
+#     (scripts/repro_v5e_dense_fault.py) PASSES at every probed config —
+#     n in {36864, 44032, 49152, 65536} x D=3 and the previously-bad
+#     n=49152 x D=4 — so the fault is NOT the plain gather+logsumexp scan;
+#   * the REAL dense-compute decode path (generate_mappings with this
+#     bound raised, n=43,897, D=3, B=5 reads) still CRASHES the worker
+#     deterministically ("TPU worker process crashed", /tmp/dense_decode
+#     probe, 2026-08-21).
+# The trigger therefore lives in what the real kernel adds on top of the
+# scan (per-step top-k/compact-store/ratio masking) and 32768 remains the
+# validated fence.  The frontier decode above the fence is validated
+# against a CPU-f64 dense oracle at n=74k
+# (scripts/validate_large_n_mapping.py; docs/evidence/validate_74k_cpu.log)
+# and degenerate frontier collapses are contained by Mappings.degenerate
+# + the wide-frontier retry (see generate_mappings).
 
 
 MAPPING_WIDTH_CAP = 128  # fixed-shape cap on mapping slots — the analog of
