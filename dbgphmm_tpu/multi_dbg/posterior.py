@@ -66,29 +66,30 @@ class Mappings:
     read_logps: Optional[np.ndarray] = None
     anchor_logps: Optional[np.ndarray] = None
     stages_since_anchor: int = 0
-    # per-read degenerate-decode flag (round 4): a read whose graph path was
-    # broken by a purge can come out of the evolving-frontier decode stuck
-    # on a tiny node set repeated at thousands of positions.  Such mappings
-    # carry no positional signal and their summed mass poisons node freqs
-    # (observed: freq 33k vs the ~n_reads bound), so flagged reads are
-    # excluded from freqs.  The reference never produces this state — its
-    # sparse-adaptive DP switches to dense compute under uncertainty
-    # (forward.rs:119-138), a fallback fenced off on this chip for
-    # n > DENSE_COMPUTE_MAX_NODES by the v5e dense-scan fault.
-    degenerate: Optional[np.ndarray] = None
+    # a single read genuinely visits one node at most a handful of times
+    # (repeat copies x passes); thousands of units of per-node mass are the
+    # signature of posterior absorption into low-complexity self-loop
+    # regions, which the evolving-frontier decode cannot fully rule out at
+    # n > DENSE_COMPUTE_MAX_NODES (the reference's adaptive dense fallback,
+    # forward.rs:119-138, is fenced off by the v5e fault).  The cap bounds
+    # the damage to node freqs (measured: freq 35k vs the ~n_reads bound at
+    # n4b k=40, stalling the MSE flow re-init downstream).
+    MAX_NODE_MASS_PER_READ = 50.0
 
     def n_reads(self) -> int:
         return len(self.nodes)
 
     def to_node_freqs(self, n_nodes: int) -> np.ndarray:
-        """Expected usage per node, linear space (ref: hint.rs:161-171).
-        Degenerate-flagged reads are skipped (see ``degenerate``)."""
+        """Expected usage per node, linear space (ref: hint.rs:161-171),
+        with each read's per-node contribution capped (see
+        ``MAX_NODE_MASS_PER_READ``)."""
         freqs = np.zeros(n_nodes)
-        for r, (nodes, logps) in enumerate(zip(self.nodes, self.logps)):
-            if self.degenerate is not None and self.degenerate[r]:
-                continue
+        for nodes, logps in zip(self.nodes, self.logps):
             valid = nodes >= 0
-            np.add.at(freqs, nodes[valid], np.exp(logps[valid]))
+            mass = np.bincount(
+                nodes[valid], weights=np.exp(logps[valid]), minlength=n_nodes
+            )[:n_nodes]
+            freqs += np.minimum(mass, self.MAX_NODE_MASS_PER_READ)
         return freqs
 
     def as_lists(self):
@@ -130,8 +131,8 @@ DENSE_COMPUTE_MAX_NODES = 32768  # up to here the mapping forward pass runs
 # validated fence.  The frontier decode above the fence is validated
 # against a CPU-f64 dense oracle at n=74k
 # (scripts/validate_large_n_mapping.py; docs/evidence/validate_74k_cpu.log)
-# and degenerate frontier collapses are contained by Mappings.degenerate
-# + the wide-frontier retry (see generate_mappings).
+# and low-complexity posterior absorption is contained by the per-
+# (read, node) mass cap in Mappings.to_node_freqs.
 
 
 MAPPING_WIDTH_CAP = 128  # fixed-shape cap on mapping slots — the analog of
@@ -156,21 +157,6 @@ def _trim_mapping_width(mn: np.ndarray, ml: np.ndarray, align: int = 16):
     width = max(width, 1)
     width = min(-(-width // align) * align, mn.shape[2])
     return mn[:, :, :width], ml[:, :, :width]
-
-
-def _degenerate_rows(nodes_list) -> np.ndarray:
-    """Flag reads whose mapping repeats one node at an implausible number
-    of positions (a healthy read passes each full edge about once per
-    genome repeat; thousands of repeats = a collapsed frontier decode)."""
-    flags = np.zeros(len(nodes_list), dtype=bool)
-    for r, a in enumerate(nodes_list):
-        flat = a[a >= 0]
-        if flat.size == 0:
-            flags[r] = True
-            continue
-        L = max(1, a.shape[0])
-        flags[r] = int(np.bincount(flat).max()) > max(32, L // 8)
-    return flags
 
 
 def _pad_hint_nodes(hint: Mappings, L: int, cap: int) -> np.ndarray:
@@ -206,7 +192,6 @@ def generate_mappings(
     verbose: bool = False,
     read_chunk: int = MAPPING_READ_CHUNK,
     pad_to: Optional[int] = None,
-    frontier_top: Optional[int] = None,
 ) -> Mappings:
     """Posterior state decode on the non-zero PHMM -> per-base active nodes
     by score ratio under a top-k cap (ref: posterior.rs:609-637
@@ -272,11 +257,6 @@ def generate_mappings(
             np.concatenate([p.read_logps for p in parts]),
             np.concatenate([p.anchor_logps for p in parts]),
             max(p.stages_since_anchor for p in parts),
-            np.concatenate([
-                p.degenerate if p.degenerate is not None
-                else np.zeros(p.n_reads(), dtype=bool)
-                for p in parts
-            ]),
         )
 
     model = dbg.to_phmm(params, mode="non_zero")
@@ -325,9 +305,7 @@ def generate_mappings(
             D = int(dm.parent_idx.shape[1])
             n_top, n_warmup = max(40, 256 // (D + 1)), int(codes.shape[1])
         else:
-            n_top = frontier_top or max(ADAPTIVE_FRONTIER_TOP,
-                                        -(-n_active // 2))
-            n_warmup = 16
+            n_top, n_warmup = max(ADAPTIVE_FRONTIER_TOP, -(-n_active // 2)), 16
             # frontier regime: trim stored tables to the decode width and
             # cast to bf16 — the memory lever that lets the read batch
             # amortize the per-scan-step backend floor (PERF_NOTES r3)
@@ -356,34 +334,9 @@ def generate_mappings(
         nodes.append(mn[i, :L].copy())
         logps.append(ml[i, :L].copy())
 
-    degen = _degenerate_rows(nodes)
-    if (degen.any() and frontier_top is None
-            and dbg.n_edges_full() > DENSE_COMPUTE_MAX_NODES):
-        # a collapsed frontier decode (typically a read whose graph path a
-        # purge broke): retry the flagged reads once with a 4x frontier —
-        # the closest safe stand-in for the reference's adaptive dense
-        # fallback (forward.rs:119-138), which the v5e dense-scan fault
-        # fences off at this node count (docs/ACCURACY_NOTES round 4)
-        idx = np.flatnonzero(degen)
-        print(f"[mappings] {len(idx)}/{len(nodes)} degenerate frontier "
-              f"decodes; retrying with frontier_top=256")
-        wide = generate_mappings(
-            dbg, params, [reads[int(i)] for i in idx], n_active=n_active,
-            dtype=dtype, max_ratio=max_ratio, pad_to=codes.shape[1],
-            frontier_top=256,
-        )
-        for j, i in enumerate(idx):
-            if (wide.read_logps[j] > read_logps[int(i)]
-                    or not wide.degenerate[j]):
-                nodes[int(i)] = wide.nodes[j]
-                logps[int(i)] = wide.logps[j]
-                read_logps[int(i)] = wide.read_logps[j]
-                degen[int(i)] = wide.degenerate[j]
-
     if hint is None:
         # from-scratch decode: this IS the anchor for later hint stages
-        return Mappings(nodes, logps, read_logps, read_logps.copy(), 0,
-                        degen)
+        return Mappings(nodes, logps, read_logps, read_logps.copy(), 0)
 
     # acceptance gate (ref intent: posterior/test.rs:145-237 compares
     # extended vs fresh mapping likelihoods).  Two checks: per-stage drop
@@ -431,7 +384,7 @@ def generate_mappings(
             anchor_out[int(i)] = fresh.read_logps[j]  # re-anchored
 
     return Mappings(nodes, logps, read_logps, anchor_out,
-                    hint.stages_since_anchor + 1, _degenerate_rows(nodes))
+                    hint.stages_since_anchor + 1)
 
 
 # -- score --------------------------------------------------------------------
