@@ -1030,9 +1030,13 @@ def infer_posterior_by_extension(
         # unit-granularity cycle canceling (round-4 k=43 stall).  Fall back
         # to a from-scratch decode instead.
         B = len(reads)
-        if freqs.max(initial=0.0) > 3.0 * B:
+        # threshold above the per-(read,node) cap ceiling: with the cap in
+        # to_node_freqs this guard is a dormant safety net that only fires
+        # if capping is somehow bypassed, not on legitimate capped values
+        limit = Mappings.MAX_NODE_MASS_PER_READ * max(B, 1)
+        if freqs.max(initial=0.0) > limit:
             print(f"[infer] mapping freqs blown up (max {freqs.max():.0f} "
-                  f"> 3x{B}); regenerating mappings from scratch")
+                  f"> {limit:.0f}); regenerating mappings from scratch")
             mappings = generate_mappings(
                 dbg, param_error, reads, dtype=dtype, mesh=mesh,
                 verbose=verbose,
