@@ -66,6 +66,10 @@ class Mappings:
     read_logps: Optional[np.ndarray] = None
     anchor_logps: Optional[np.ndarray] = None
     stages_since_anchor: int = 0
+    # fraction of reads the hint gate regenerated from scratch in the
+    # decode that produced this mapping; the infer loop skips the next
+    # stage's doomed hint-constrained decode when ~all reads gated
+    gate_rate: float = 0.0
     # a single read genuinely visits one node at most a handful of times
     # (repeat copies x passes); thousands of units of per-node mass are the
     # signature of posterior absorption into low-complexity self-loop
@@ -366,6 +370,7 @@ def generate_mappings(
                   if anchor is not None and
                   np.shape(anchor) == read_logps.shape
                   else read_logps.copy())
+    gate_rate = float(bad.mean())
     if bad.any():
         idx = np.flatnonzero(bad)
         # always announce: a firing gate marks hint degradation (a purge
@@ -384,7 +389,7 @@ def generate_mappings(
             anchor_out[int(i)] = fresh.read_logps[j]  # re-anchored
 
     return Mappings(nodes, logps, read_logps, anchor_out,
-                    hint.stages_since_anchor + 1)
+                    hint.stages_since_anchor + 1, gate_rate)
 
 
 # -- score --------------------------------------------------------------------
@@ -1003,6 +1008,13 @@ def infer_posterior_by_extension(
         log(f"extended to k={dbg.k} in {time.time()-t0:.1f}s")
         t0 = time.time()
         hint_m = None
+        if getattr(mappings, "gate_rate", 0.0) >= 0.99:
+            # the previous stage's hint decode was junk for every read —
+            # the upconverted sets are not going to fare better after
+            # another purge+extension; go straight to the from-scratch
+            # decode and save the doomed constrained pass (~2 min/stage
+            # at n4 widths)
+            maps2 = None
         if use_hint_mappings and maps2 is not None:
             # upconverted active sets seed the next k's decode instead of a
             # full from-scratch regeneration (the reference's designed-but-
