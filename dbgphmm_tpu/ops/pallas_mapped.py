@@ -284,28 +284,51 @@ def _make_kernel(TL: int, D: int, n_max_gaps: int, L: int):
             aux_ref[:] = jnp.zeros_like(aux_ref)
             aux_ref[0] = jnp.ones_like(aux_ref[0])  # mb = 1
 
-        eff = eff_ref[0, 0]  # [NC]
         inv_total = invt_ref[0, 0, 0]
         lens = lens_ref[0]  # [B]
         B = lens.shape[0]
 
-        NC = eff.shape[0]
+        # eff rides as [NCC, VREG] chunks (leading-dim indexed) so every
+        # dynamic_gather stays within ONE 128-lane vreg — the only form all
+        # fleet Mosaic versions support ("Multiple source vregs along gather
+        # dimension" rejections at nc_pad=256/512, runs/n4b.log round 4).
+        VREG = 128
+        NCC = eff_ref.shape[1]
 
         def gather_eff(idx):
-            # idx [B, A] -> eff values [B, A].  Mosaic's dynamic gather only
-            # supports same-shape index/value tensors, so pad the index to NC
-            # lanes (or lane-tile the table past NC) and slice back.
-            A_ = idx.shape[1]
-            if A_ < NC:
+            # idx [B, W<=VREG] compact-edge ids -> eff values [B, W]:
+            # loop the candidate's eff chunks and select the in-range piece.
+            W = idx.shape[1]
+            if W < VREG:
                 idx = jnp.concatenate(
-                    [idx, jnp.zeros((B, NC - A_), dtype=idx.dtype)], axis=1
+                    [idx, jnp.zeros((B, VREG - W), dtype=idx.dtype)], axis=1
                 )
-            reps = -(-idx.shape[1] // NC)
-            tab = jnp.broadcast_to(eff[None, :], (B, NC))
-            if reps > 1:
-                tab = jnp.concatenate([tab] * reps, axis=1)[:, : idx.shape[1]]
-            g = jnp.take_along_axis(tab, idx, axis=1)
-            return g[:, :A_]
+            out = jnp.zeros((B, VREG), dtype=jnp.float32)
+            for kk in range(NCC):
+                tab = jnp.broadcast_to(eff_ref[0, kk][None, :], (B, VREG))
+                local = idx - kk * VREG
+                in_rng = (local >= 0) & (local < VREG)
+                g = jnp.take_along_axis(
+                    tab, jnp.where(in_rng, local, 0), axis=1
+                )
+                out = jnp.where(in_rng, g, out)
+            return out[:, :W]
+
+        def gather_eff_cols(cols):
+            """Gather eff for a list of [B, A] id columns, fusing up to
+            VREG//A columns per single-vreg gather."""
+            A_ = cols[0].shape[1]
+            per = max(1, VREG // A_)
+            vals = []
+            for c0 in range(0, len(cols), per):
+                grp = cols[c0 : c0 + per]
+                cat = (jnp.concatenate(grp, axis=1) if len(grp) > 1
+                       else grp[0])
+                g = gather_eff(cat)
+                vals.extend(
+                    g[:, i * A_ : (i + 1) * A_] for i in range(len(grp))
+                )
+            return vals
 
         def gather_tab(tab, idx):
             safe = jnp.where(idx >= 0, idx, 0)
@@ -340,18 +363,13 @@ def _make_kernel(TL: int, D: int, n_max_gaps: int, L: int):
             valid = (step < lens)  # [B]
 
             emis = emis_ref[t]  # [B, A]
-            num = gather_eff(numce_ref[t])  # eff of slot's edge
-            if D == 1:
-                den = gather_eff(dence_ref[t, 0])
-            else:
-                A_ = emis.shape[1]
-                den_flat = gather_eff(
-                    jnp.concatenate([dence_ref[t, dd] for dd in range(D)],
-                                    axis=1)
-                )
-                den = jnp.zeros_like(num)
-                for dd in range(D):
-                    den = den + den_flat[:, dd * A_:(dd + 1) * A_]
+            vals = gather_eff_cols(
+                [numce_ref[t]] + [dence_ref[t, dd] for dd in range(D)]
+            )
+            num = vals[0]  # eff of slot's edge
+            den = vals[1]
+            for v in vals[2:]:
+                den = den + v
             t_val = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
             init_p = num * inv_total
             p_emit = jnp.where(emis == x[:, None], p_match, p_mismatch)
@@ -472,24 +490,44 @@ def _make_kernel_log(TL: int, D: int, n_max_gaps: int, L: int):
             aux_ref[3] = jnp.zeros_like(aux_ref[3])  # off = 0
             aux_ref[4] = jnp.zeros_like(aux_ref[4])  # off_c = 0
 
-        eff = eff_ref[0, 0]  # [NC]
         inv_total = invt_ref[0, 0, 0]
         lens = lens_ref[0]  # [B]
         B = lens.shape[0]
-        NC = eff.shape[0]
+
+        # chunked single-vreg eff gathers — see _make_kernel for rationale
+        VREG = 128
+        NCC = eff_ref.shape[1]
 
         def gather_eff(idx):
-            A_ = idx.shape[1]
-            if A_ < NC:
+            W = idx.shape[1]
+            if W < VREG:
                 idx = jnp.concatenate(
-                    [idx, jnp.zeros((B, NC - A_), dtype=idx.dtype)], axis=1
+                    [idx, jnp.zeros((B, VREG - W), dtype=idx.dtype)], axis=1
                 )
-            reps = -(-idx.shape[1] // NC)
-            tab = jnp.broadcast_to(eff[None, :], (B, NC))
-            if reps > 1:
-                tab = jnp.concatenate([tab] * reps, axis=1)[:, : idx.shape[1]]
-            g = jnp.take_along_axis(tab, idx, axis=1)
-            return g[:, :A_]
+            out = jnp.zeros((B, VREG), dtype=jnp.float32)
+            for kk in range(NCC):
+                tab = jnp.broadcast_to(eff_ref[0, kk][None, :], (B, VREG))
+                local = idx - kk * VREG
+                in_rng = (local >= 0) & (local < VREG)
+                g = jnp.take_along_axis(
+                    tab, jnp.where(in_rng, local, 0), axis=1
+                )
+                out = jnp.where(in_rng, g, out)
+            return out[:, :W]
+
+        def gather_eff_cols(cols):
+            A_ = cols[0].shape[1]
+            per = max(1, VREG // A_)
+            vals = []
+            for c0 in range(0, len(cols), per):
+                grp = cols[c0 : c0 + per]
+                cat = (jnp.concatenate(grp, axis=1) if len(grp) > 1
+                       else grp[0])
+                g = gather_eff(cat)
+                vals.extend(
+                    g[:, i * A_ : (i + 1) * A_] for i in range(len(grp))
+                )
+            return vals
 
         def gather_log(tab, idx):
             safe = jnp.where(idx >= 0, idx, 0)
@@ -532,18 +570,13 @@ def _make_kernel_log(TL: int, D: int, n_max_gaps: int, L: int):
             valid = (step < lens)
 
             emis = emis_ref[t]  # [B, A]
-            num = gather_eff(numce_ref[t])
-            if D == 1:
-                den = gather_eff(dence_ref[t, 0])
-            else:
-                A_ = emis.shape[1]
-                den_flat = gather_eff(
-                    jnp.concatenate([dence_ref[t, dd] for dd in range(D)],
-                                    axis=1)
-                )
-                den = jnp.zeros_like(num)
-                for dd in range(D):
-                    den = den + den_flat[:, dd * A_:(dd + 1) * A_]
+            vals = gather_eff_cols(
+                [numce_ref[t]] + [dence_ref[t, dd] for dd in range(D)]
+            )
+            num = vals[0]
+            den = vals[1]
+            for v in vals[2:]:
+                den = den + v
             # log transition prob into each slot's edge; 0-copy -> NEGF
             ok_t = (num > 0) & (den > 0)
             l_tval = jnp.where(
@@ -1096,6 +1129,9 @@ def pallas_mapped_scores(
     C, NC = eff.shape
     L, D, B, A = prevp.shape
     assert L % TL == 0, "L must be a multiple of TL (pad reads)"
+    VREG = 128
+    assert NC % VREG == 0, "nc_pad must be a multiple of 128"
+    NCC = NC // VREG
     # streams travel narrow (int8/int16, see build_streams); widen on-device
     i32 = lambda a: a.astype(jnp.int32)
     lens, codes, emis, numce, selfp, prevp, curp, dence = (
@@ -1111,7 +1147,7 @@ def pallas_mapped_scores(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 13), lambda c, l: (0, 0), memory_space=pltpu.SMEM),
-            bs((1, 1, NC), lambda c, l: (c, 0, 0)),
+            bs((1, NCC, VREG), lambda c, l: (c, 0, 0)),
             bs((1, 1, 1), lambda c, l: (c, 0, 0)),
             bs((1, B), lambda c, l: (0, 0)),
             bs((TL, B), lambda c, l: (l, 0)),
@@ -1132,7 +1168,7 @@ def pallas_mapped_scores(
         ],
         interpret=interpret,
     )(
-        lt_lin.reshape(1, 13), eff.reshape(C, 1, NC),
+        lt_lin.reshape(1, 13), eff.reshape(C, NCC, VREG),
         inv_total.reshape(C, 1, 1),
         lens.reshape(1, B).astype(jnp.int32),
         codes, emis, numce, selfp, prevp, curp, dence,
