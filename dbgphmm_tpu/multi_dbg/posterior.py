@@ -83,17 +83,29 @@ class Mappings:
     def n_reads(self) -> int:
         return len(self.nodes)
 
+    @classmethod
+    def _mass_cap(cls, read_len: int) -> float:
+        """Per-(read, node) freqs mass cap, scaled with read length
+        (ADVICE r4: a long read legitimately traversing a collapsed
+        short-tandem node can accrue hundreds of visits; a flat cap of 50
+        systematically undercounts there)."""
+        return max(cls.MAX_NODE_MASS_PER_READ, 0.02 * read_len)
+
+    def mass_cap_total(self) -> float:
+        """Upper bound of any node's total freqs under the per-read caps —
+        the blow-up guard threshold in the infer loop."""
+        return sum(self._mass_cap(n.shape[0]) for n in self.nodes)
+
     def to_node_freqs(self, n_nodes: int) -> np.ndarray:
         """Expected usage per node, linear space (ref: hint.rs:161-171),
-        with each read's per-node contribution capped (see
-        ``MAX_NODE_MASS_PER_READ``)."""
+        with each read's per-node contribution capped (see ``_mass_cap``)."""
         freqs = np.zeros(n_nodes)
         for nodes, logps in zip(self.nodes, self.logps):
             valid = nodes >= 0
             mass = np.bincount(
                 nodes[valid], weights=np.exp(logps[valid]), minlength=n_nodes
             )[:n_nodes]
-            freqs += np.minimum(mass, self.MAX_NODE_MASS_PER_READ)
+            freqs += np.minimum(mass, self._mass_cap(nodes.shape[0]))
         return freqs
 
     def as_lists(self):
@@ -183,6 +195,16 @@ FRONTIER_READ_CHUNK = 384  # the >32k frontier decode compact-stores
 # which only batch size amortizes (docs/PERF_NOTES round 3)
 
 
+def seeded_mapping_enabled() -> bool:
+    """Exact-match seeded mapping generation for the frontier regime
+    (n > DENSE_COMPUTE_MAX_NODES) — see multi_dbg.seed.  Default ON; env
+    DBGPHMM_SEED_MAPPING=0 restores the (diagnosed-unreliable) frontier
+    decode."""
+    import os
+
+    return os.environ.get("DBGPHMM_SEED_MAPPING", "1") != "0"
+
+
 def generate_mappings(
     dbg: MultiDbg,
     params: PHMMParams,
@@ -196,6 +218,7 @@ def generate_mappings(
     verbose: bool = False,
     read_chunk: int = MAPPING_READ_CHUNK,
     pad_to: Optional[int] = None,
+    hint_regen: bool = True,
 ) -> Mappings:
     """Posterior state decode on the non-zero PHMM -> per-base active nodes
     by score ratio under a top-k cap (ref: posterior.rs:609-637
@@ -226,6 +249,26 @@ def generate_mappings(
     if max_ratio == "default":
         max_ratio = params.active_node_max_ratio
 
+    if (hint is None and dbg.n_edges_full() > DENSE_COMPUTE_MAX_NODES
+            and seeded_mapping_enabled()):
+        # frontier regime: the from-scratch giant-DP decode is unreliable
+        # here (round-5 diagnosis: absorbed junk mappings at n4 production
+        # scale from k=40 on) — replace candidate generation with
+        # graph-exact k-mer suffix seeding + the constrained refine
+        # (multi_dbg.seed); hint_regen=False because re-decoding a
+        # floor-failing read from scratch would re-enter this same path
+        from .seed import seed_mappings_arrays
+
+        arrs = seed_mappings_arrays(dbg, reads, verbose=True)
+        seeds = Mappings(arrs, [np.zeros(a.shape) for a in arrs],
+                         None, None, -1)
+        return generate_mappings(
+            dbg, params, reads, n_active=n_active, dtype=dtype,
+            max_ratio=max_ratio, mesh=mesh, hint=seeds,
+            hint_gate=hint_gate, verbose=verbose, read_chunk=read_chunk,
+            pad_to=pad_to, hint_regen=False,
+        )
+
     # chunk large read batches: the decode stores per-step tables on device;
     # a shared pad_to keeps chunk shapes identical (one compile, not one
     # per chunk)
@@ -253,7 +296,7 @@ def generate_mappings(
                 dbg, params, sub, n_active=n_active, dtype=dtype,
                 max_ratio=max_ratio, mesh=mesh, hint=sub_hint,
                 hint_gate=hint_gate, verbose=verbose, read_chunk=0,
-                pad_to=L_max,
+                pad_to=L_max, hint_regen=hint_regen,
             ))
         return Mappings(
             [a for p in parts for a in p.nodes],
@@ -371,7 +414,14 @@ def generate_mappings(
                   np.shape(anchor) == read_logps.shape
                   else read_logps.copy())
     gate_rate = float(bad.mean())
-    if bad.any():
+    if bad.any() and not hint_regen:
+        # seeded mappings: a floor-failing read is genuinely unexplainable
+        # by the graph (broken truth, foreign read) — re-decoding it from
+        # scratch would re-enter the seeding path; keep the constrained
+        # result and let the score carry the penalty
+        print(f"[mappings] {int(bad.sum())}/{n_reads} reads below the "
+              "likelihood floor under seeded sets (kept)")
+    if bad.any() and hint_regen:
         idx = np.flatnonzero(bad)
         # always announce: a firing gate marks hint degradation (a purge
         # broke read paths) and explains the from-scratch decode cost
@@ -666,6 +716,22 @@ def score_candidates(
         # worker crash, and waste at most 31 pad slots.
         SUB = 32
 
+        if callable(xla_scorer):
+            # lazily constructed on first fallback use (ADVICE r4: the
+            # eager build uploaded ~GB-scale streams to HBM even when the
+            # packed scorer stayed healthy)
+            xla_scorer = xla_scorer()
+
+        def _revive_and_reset() -> bool:
+            if not _revive_backend():
+                return False
+            if xla_scorer is not None:
+                # the revive cleared all backends; the scorer's uploaded
+                # buckets are dead buffers — rebuild them from the host
+                # recipe or the retry dies on the first launch (ADVICE r4)
+                xla_scorer.reset_device()
+            return True
+
         if xla_scorer is not None and mesh is None:
             # device-resident streams + scaled-linear kernel (ops.batch.
             # XlaMappedScorer): no per-chunk re-upload of the ~GB-scale
@@ -687,14 +753,14 @@ def score_candidates(
             try:
                 vals = run_chunk(chunk)
             except Exception as e:
-                if not _is_worker_crash(e) or not _revive_backend():
+                if not _is_worker_crash(e) or not _revive_and_reset():
                     raise
                 print(f"[posterior] worker crash in XLA kernel (chunk @{c0}): "
                       "backend revived, retrying chunk")
                 try:
                     vals = run_chunk(chunk)
                 except Exception as e2:
-                    if not _is_worker_crash(e2) or not _revive_backend():
+                    if not _is_worker_crash(e2) or not _revive_and_reset():
                         raise
                     # persistent crash on this chunk: isolate per candidate
                     # (single-candidate launches share the initial score's
@@ -708,7 +774,8 @@ def score_candidates(
                         try:
                             vals[j] = run_chunk([cn])[0]
                         except Exception as e3:
-                            if not _is_worker_crash(e3) or not _revive_backend():
+                            if (not _is_worker_crash(e3)
+                                    or not _revive_and_reset()):
                                 raise
                             # the revive succeeded — retry once before
                             # writing the candidate off as -inf: a single
@@ -719,7 +786,7 @@ def score_candidates(
                                 continue
                             except Exception as e4:
                                 if (not _is_worker_crash(e4)
-                                        or not _revive_backend()):
+                                        or not _revive_and_reset()):
                                     raise
                             print(f"[posterior] candidate {c0 + j} crashes "
                                   "the worker alone; scoring -inf and "
@@ -808,11 +875,22 @@ def sample_posterior(
             template, positions, codes, lens, template.params, mesh=mesh
         )
         if mesh is None:
+            # lazy factory: built (and streams uploaded) only if the Pallas
+            # path actually falls back (ADVICE r4 — eager construction
+            # doubled resident stream HBM and cost ~12-24s of setup even on
+            # healthy packed-scorer stages); memoized so retries reuse it
             from ..ops.batch import XlaMappedScorer
 
-            xla_scorer = XlaMappedScorer(
-                template, positions, codes, lens, dtype=dtype
-            )
+            box = {}
+
+            def xla_scorer():
+                if "s" not in box:
+                    t0 = time.time()
+                    box["s"] = XlaMappedScorer(
+                        template, positions, codes, lens, dtype=dtype
+                    )
+                    log(f"xla fallback scorer built in {time.time()-t0:.1f}s")
+                return box["s"]
         log(f"setup: positions {t_pos:.1f}s, scorer streams "
             f"{time.time()-t0:.1f}s (width={width})")
     else:
@@ -1008,7 +1086,13 @@ def infer_posterior_by_extension(
         log(f"extended to k={dbg.k} in {time.time()-t0:.1f}s")
         t0 = time.time()
         hint_m = None
-        if getattr(mappings, "gate_rate", 0.0) >= 0.99:
+        if (dbg.n_edges_full() > DENSE_COMPUTE_MAX_NODES
+                and seeded_mapping_enabled()):
+            # frontier regime regenerates by exact-match seeding each stage
+            # (O(B*L) host work) — strictly better than upconverting the
+            # previous stage's sets, so the hint machinery is bypassed
+            maps2 = None
+        elif getattr(mappings, "gate_rate", 0.0) >= 0.99:
             # the previous stage's hint decode was junk for every read —
             # the upconverted sets are not going to fare better after
             # another purge+extension; go straight to the from-scratch
@@ -1041,11 +1125,10 @@ def infer_posterior_by_extension(
         # — and it poisons the MSE flow instance below into hours of
         # unit-granularity cycle canceling (round-4 k=43 stall).  Fall back
         # to a from-scratch decode instead.
-        B = len(reads)
         # threshold above the per-(read,node) cap ceiling: with the cap in
         # to_node_freqs this guard is a dormant safety net that only fires
         # if capping is somehow bypassed, not on legitimate capped values
-        limit = Mappings.MAX_NODE_MASS_PER_READ * max(B, 1)
+        limit = max(mappings.mass_cap_total(), 1.0)
         if freqs.max(initial=0.0) > limit:
             print(f"[infer] mapping freqs blown up (max {freqs.max():.0f} "
                   f"> {limit:.0f}); regenerating mappings from scratch")

@@ -156,7 +156,16 @@ class XlaMappedScorer:
         self._nb = self._db = None
         self.lens_np = np.asarray(lens)
         self.n_reads = len(self.lens_np)
-        codes = np.asarray(codes)
+        # keep the construction recipe (references to the caller-owned
+        # arrays, no copies) so reset_device() can rebuild the device
+        # buffers after a backend revive (ADVICE r4: clear_backends()
+        # invalidates the uploaded buckets, so a post-revive retry through
+        # score_chunk would die on dead buffers)
+        self._recipe = (positions, np.asarray(codes), bucket)
+        self._build_buckets()
+
+    def _build_buckets(self):
+        positions, codes, bucket = self._recipe
         mn = np.asarray(positions.map_nodes)
         pp = np.asarray(positions.prev_pos)
         cp = np.asarray(positions.cur_pos)
@@ -191,6 +200,11 @@ class XlaMappedScorer:
                 "cp": jnp.asarray(cp[rb, :Lb, :Ab]),
                 "sp": jnp.asarray(sp[rb, :Lb, :Ab]),
             })
+
+    def reset_device(self):
+        """Re-upload all device state after a backend revive."""
+        self._base = None
+        self._build_buckets()
 
     def _ensure_base(self, cn0):
         if self._base is not None:

@@ -56,10 +56,22 @@ class PackedLaunchTimeout(RuntimeError):
     it through the crash ladder (dump batch -> disable scorer -> restart)."""
 
 
+WATCHDOG_EXIT_CODE = 113  # distinctive rc for "hard-exited a wedged device
+# call"; the run supervisor (scripts/sim.sh) restarts on any nonzero rc
+_WATCHDOG_GRACE = 30  # seconds past the SIGALRM deadline before hard exit
+
+
 @contextlib.contextmanager
 def _launch_watchdog(seconds: int):
-    """SIGALRM bound on a blocking device call (main thread only; a launch
-    from another thread runs unguarded rather than failing)."""
+    """Bound a blocking device call: SIGALRM first (clean exception), backed
+    by a hard-exit thread (ADVICE r4: a Python-level SIGALRM handler only
+    runs at a bytecode boundary — a main thread wedged inside a
+    non-returning PJRT/libtpu C call never sees it, so the silent-stall
+    mode survives the alarm).  If the context has not exited _WATCHDOG_GRACE
+    seconds after the deadline, the thread dumps tracebacks and os._exit()s
+    with WATCHDOG_EXIT_CODE so the supervisor observes a process death
+    instead of an infinite hang.  (Main thread only; a launch from another
+    thread runs unguarded rather than failing.)"""
     if seconds <= 0 or threading.current_thread() is not threading.main_thread():
         yield
         return
@@ -70,6 +82,28 @@ def _launch_watchdog(seconds: int):
             "crashed or wedged (hang mode; see docs/PERF_NOTES round 4)"
         )
 
+    done = threading.Event()
+
+    def _hard_exit():
+        if done.wait(seconds + _WATCHDOG_GRACE):
+            return
+        import faulthandler
+        import sys
+
+        os.write(
+            2,
+            (f"[watchdog] device call wedged past {seconds}s + "
+             f"{_WATCHDOG_GRACE}s grace (SIGALRM never delivered — C-level "
+             f"hang); hard-exiting rc={WATCHDOG_EXIT_CODE}\n").encode(),
+        )
+        try:
+            faulthandler.dump_traceback(file=sys.stderr)
+        except Exception:
+            pass
+        os._exit(WATCHDOG_EXIT_CODE)
+
+    guard = threading.Thread(target=_hard_exit, daemon=True)
+    guard.start()
     old = signal.signal(signal.SIGALRM, _on_alarm)
     signal.alarm(seconds)
     try:
@@ -77,6 +111,7 @@ def _launch_watchdog(seconds: int):
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+        done.set()
 
 
 def _watchdog_seconds() -> int:

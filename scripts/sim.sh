@@ -110,7 +110,12 @@ run_dbgphmm() {  # ref: sim.sh:152-163
     [ "$rc" -eq 0 ] && break
     attempt=$((attempt+1))
     [ "$attempt" -gt 12 ] && { echo "# run_dbgphmm: giving up after $attempt attempts" | tee -a "$DIR/log"; break; }
-    echo "# run_dbgphmm: rc=$rc attempt=$attempt restarting from k=${LASTK:-draft}" | tee -a "$DIR/log"
+    # recompute the restart point AFTER the failed attempt — LASTK from
+    # before it is stale when the attempt advanced several k (VERDICT r4)
+    local NEXTK
+    NEXTK=$(ls "$PRE".k*.dbg 2>/dev/null \
+            | sed 's/.*\.k\([0-9]*\)\.dbg/\1/' | sort -n | tail -1)
+    echo "# run_dbgphmm: rc=$rc attempt=$attempt restarting from k=${NEXTK:-draft}" | tee -a "$DIR/log"
   done
   evaluate_asm "$KEY/data.genome.fa" "$PRE.final.euler.fa"
 }
