@@ -866,6 +866,19 @@ def sample_posterior(
         width = max((n.shape[1] for n in mappings.nodes if n.size), default=8)
         t0 = time.time()
         map_nodes = pad_mappings(mappings, codes.shape[1], width)
+        # a read whose mapping is entirely empty (unexplainable by the
+        # graph — e.g. its constrained decode hit -inf) scores -inf for
+        # EVERY candidate, which collapses all posterior weights to nan;
+        # it carries zero discriminative signal, so drop it from scoring
+        alive = (map_nodes >= 0).any(axis=(1, 2))
+        if not alive.all():
+            dead = np.flatnonzero(~alive)
+            print(f"[posterior] excluding {len(dead)} read(s) with empty "
+                  f"mappings from scoring: {dead.tolist()}")
+            keep = np.flatnonzero(alive)
+            codes, lens = codes[keep], lens[keep]
+            map_nodes = map_nodes[keep]
+            reads = [reads[int(i)] for i in keep]
         positions = precompute_positions(
             map_nodes, template.parent_idx, parent_exists=template.parent_exists
         )

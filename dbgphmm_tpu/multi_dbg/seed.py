@@ -237,6 +237,23 @@ def seed_read(idx: SeedIndex, read: bytes) -> List[np.ndarray]:
             out.append(np.unique(np.concatenate([f, b])))
         else:
             out.append(f if f.size else b)
+
+    # backfill remaining empty rows by plain graph walks from their
+    # neighbors (keeping the previous set for insertions).  An empty row
+    # forces a position-priced begin re-entry, and an empty LAST row makes
+    # the read score exactly -inf (the end state reads only M/I/D —
+    # ref forward.rs:554), which poisons every candidate's total into -inf
+    # (round-5: reads 52/61, late-read errors killed both passes' tails).
+    for i in range(1, L):
+        if out[i].size == 0 and out[i - 1].size:
+            out[i] = np.unique(np.concatenate(
+                [out[i - 1], idx.succ_edges(out[i - 1])]
+            ))[:WIDTH_CAP]
+    for i in range(L - 2, -1, -1):
+        if out[i].size == 0 and out[i + 1].size:
+            out[i] = np.unique(np.concatenate(
+                [out[i + 1], idx.pred_edges(out[i + 1])]
+            ))[:WIDTH_CAP]
     return out
 
 

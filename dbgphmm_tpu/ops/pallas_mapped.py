@@ -1049,8 +1049,10 @@ def pallas_mapped_scores_packed(
     # read-block the grid so streamed VMEM blocks stay bounded at wide A.
     # Scoped-vmem model (calibrated on the measured 18.96M OOM at
     # TL=8/B=104/A=128/D=3/CL=8: double-buffered stream blocks + DP scratch
-    # + ~1.4x stack temporaries vs the 16M limit):
-    per_read = (2 * 3 * (1 + D) * TL * A + 7 * CL * PA) * 4  # bytes
+    # + ~1.4x stack temporaries vs the 16M limit) + an explicit per-read
+    # stack-temporary term (~48 [*, PA] vreg-rows of step temporaries —
+    # round-5: A=64 seeded widths OOMed at B_blk the old model allowed):
+    per_read = (2 * 3 * (1 + D) * TL * A + 7 * CL * PA + 48 * PA) * 4
     B_max = max(8, int(10.5e6 / (1.44 * per_read)) // 8 * 8)
     if B <= B_max:
         RB, B_blk = 1, B
@@ -1538,49 +1540,7 @@ class PallasMappedScorer:
         # but Mosaic rejects 64-bit types; every input here is already 32-bit
         with _launch_watchdog(_watchdog_seconds()), jax.enable_x64(False):
             if self.space == "packed":
-                A = streams.emis.shape[2]
-                P_ = max(1, 128 // A)
-                CL = self.cl
-                eff, linv, _cp = pack_eff_tables(streams, cands, P_, CL, A)
-                if self.mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec as Pt
-
-                    from ..parallel.sharding import (
-                        _put_sharded, gather_to_host,
-                    )
-
-                    n_cs = self.mesh.shape["cand"]
-                    # pad groups to the cand-shard count
-                    G = eff.shape[0]
-                    Gp = -(-G // n_cs) * n_cs
-                    if Gp > G:
-                        eff = np.concatenate(
-                            [eff, np.repeat(eff[:1], Gp - G, axis=0)], axis=0
-                        )
-                        linv = np.concatenate(
-                            [linv, np.repeat(linv[:1], Gp - G, axis=0)], axis=0
-                        )
-                    cand_sh = NamedSharding(self.mesh, Pt("cand"))
-                    out = gather_to_host(
-                        pallas_mapped_scores_packed_sharded(
-                            self.mesh,
-                            _put_sharded(cand_sh, jnp.asarray(eff)),
-                            _put_sharded(cand_sh, jnp.asarray(linv)),
-                            *args, self.ltv,
-                            n_max_gaps=self.n_max_gaps, TL=self.TL,
-                            P=P_, CL=CL, interpret=self.interpret,
-                            renorm_every=self.renorm_every,
-                        )
-                    )
-                else:
-                    out = np.asarray(
-                        pallas_mapped_scores_packed(
-                            jnp.asarray(eff), jnp.asarray(linv), *args,
-                            self.ltv, n_max_gaps=self.n_max_gaps, TL=self.TL,
-                            P=P_, CL=CL, interpret=self.interpret,
-                            renorm_every=self.renorm_every,
-                        )
-                    )
+                return self._scores_chunk_packed(cands, ci, args, streams)
             else:
                 eff, inv_total = eff_tables(streams, cands)
                 if self.mesh is not None:
@@ -1610,6 +1570,64 @@ class PallasMappedScorer:
                         )
                     )
         return out
+
+    def _scores_chunk_packed(self, cands, ci: int, args, streams) -> np.ndarray:
+        """Packed-kernel scoring with adaptive CL back-off: a VMEM OOM at
+        compile (seen round 5 with seeded A=64 widths) halves the
+        candidate-block depth and retries instead of abandoning the Pallas
+        path for the whole stage."""
+        A = streams.emis.shape[2]
+        P_ = max(1, 128 // A)
+        while True:
+            CL = self.cl
+            eff, linv, _cp = pack_eff_tables(streams, cands, P_, CL, A)
+            try:
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as Pt
+
+                    from ..parallel.sharding import (
+                        _put_sharded, gather_to_host,
+                    )
+
+                    n_cs = self.mesh.shape["cand"]
+                    # pad groups to the cand-shard count
+                    G = eff.shape[0]
+                    Gp = -(-G // n_cs) * n_cs
+                    if Gp > G:
+                        eff = np.concatenate(
+                            [eff, np.repeat(eff[:1], Gp - G, axis=0)], axis=0
+                        )
+                        linv = np.concatenate(
+                            [linv, np.repeat(linv[:1], Gp - G, axis=0)], axis=0
+                        )
+                    cand_sh = NamedSharding(self.mesh, Pt("cand"))
+                    return gather_to_host(
+                        pallas_mapped_scores_packed_sharded(
+                            self.mesh,
+                            _put_sharded(cand_sh, jnp.asarray(eff)),
+                            _put_sharded(cand_sh, jnp.asarray(linv)),
+                            *args, self.ltv,
+                            n_max_gaps=self.n_max_gaps, TL=self.TL,
+                            P=P_, CL=CL, interpret=self.interpret,
+                            renorm_every=self.renorm_every,
+                        )
+                    )
+                return np.asarray(
+                    pallas_mapped_scores_packed(
+                        jnp.asarray(eff), jnp.asarray(linv), *args,
+                        self.ltv, n_max_gaps=self.n_max_gaps, TL=self.TL,
+                        P=P_, CL=CL, interpret=self.interpret,
+                        renorm_every=self.renorm_every,
+                    )
+                )
+            except Exception as e:
+                msg = str(e)
+                if ("Ran out of memory" not in msg and "vmem" not in msg
+                        and "VMEM" not in msg) or self.cl <= 1:
+                    raise
+                self.cl = max(1, self.cl // 2)
+                print(f"[pallas] packed kernel VMEM OOM at CL={CL}; "
+                      f"retrying with CL={self.cl}")
 
     def scores(self, candidates) -> np.ndarray:
         return self.scores_detailed(candidates)[0]

@@ -95,16 +95,14 @@ run_dbgphmm() {  # ref: sim.sh:152-163
     else
       ARGS+=( -d "$KEY/data.dbg" )
     fi
-    # The packed-kernel fault is a STOCHASTIC platform crash/hang, not a
-    # value bug (round-4 bisect: the captured crash batch passes cleanly in
-    # fresh processes, incl. the full production sequence).  So alternate:
-    # odd attempts pin the chunked XLA scorer (guaranteed to complete the
-    # k-stage the crash interrupted), even attempts retry the packed kernel
-    # (30-100x faster when the platform cooperates).  Scope the pin to this
-    # invocation only — exporting it would leak into every later config's
-    # attempt 0 in a run_all sweep (ADVICE r3).
+    # The packed-kernel fleet fault was fixed in round 5 (single-vreg
+    # gathers + VMEM back-off), so most restarts should retry the packed
+    # kernel; pin the chunked XLA scorer only on every third attempt as a
+    # last-resort escape hatch for an unknown persistent Pallas fault.
+    # Scope the pin to this invocation only — exporting it would leak into
+    # every later config's attempt 0 in a run_all sweep (ADVICE r3).
     local PIN=()
-    [ $((attempt % 2)) -eq 1 ] && PIN=( DBGPHMM_PALLAS=0 )
+    [ $((attempt % 3)) -eq 2 ] && PIN=( DBGPHMM_PALLAS=0 )
     env "${PIN[@]}" $PY -m dbgphmm_tpu "${ARGS[@]}" 2>&1 | tee -a "$DIR/log"
     local rc=${PIPESTATUS[0]}
     [ "$rc" -eq 0 ] && break
