@@ -671,6 +671,12 @@ def score_candidates(
     if pallas_scorer is not None and not getattr(pallas_scorer, "disabled", False):
         try:
             lls, ok = pallas_scorer.scores_detailed(candidates)
+            if pallas_scorer.space in ("log", "packed"):
+                # the primary kernel already runs in log space: a
+                # non-finite read score is exact (-inf means genuinely
+                # unexplainable under that candidate), so the log-sibling
+                # rescore would recompute identical values at full price
+                ok = np.ones_like(ok)
             if not ok.all():
                 # rescore blocked candidates with the Pallas LOG-space
                 # sibling kernel: the linear-space packed kernel underflows
