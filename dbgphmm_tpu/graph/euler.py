@@ -177,86 +177,96 @@ class EulerCache:
         self.dst = np.asarray(graph.edge_targets, dtype=np.int64)
         self.base = np.asarray(base_copy_nums, dtype=np.int64)
         self.ok = False
-        live = self._live_nodes(self.base)
-        if live.size == 0:
+        self.n = graph.n_nodes()
+        if self.n == 0 or self.src.size == 0:
             return
-        self.nodes = live
-        self.rank = np.full(int(live.max()) + 1, -1, dtype=np.int64)
-        self.rank[live] = np.arange(live.size)
-        firsts = self._scc_firsts(self.base, live)
+        base_live = self._live_mask(self.base)
+        if not base_live.any():
+            return
+        self.base_live = base_live
+        firsts = self._scc_firsts(self.base)
         if firsts is None:
             return
         self.base_firsts = firsts
-        m0 = self._matrix(self.base, firsts)
+        m0 = self._matrix(self.base, firsts, base_live)
         try:
-            self.lu = sla.lu_factor(m0)
+            lu = sla.lu_factor(m0)
         except Exception:
             return
-        diag = np.diag(self.lu[0])
+        diag = np.diag(lu[0])
         if np.any(diag == 0.0):
             return
-        # sign of det from the permutation parity and diagonal signs
-        piv = self.lu[1]
+        piv = lu[1]
         parity = np.count_nonzero(piv != np.arange(piv.size)) % 2
         self.sign0 = (-1.0) ** parity * np.prod(np.sign(diag))
         self.logdet0 = float(np.sum(np.log(np.abs(diag))))
         if self.sign0 != 1.0:
             # negative/zero determinant: the per-SCC sign*ln sum of the
-            # reference quirk is not reproducible from the global product —
+            # reference quirk is not reproducible from the global product -
             # serve everything through the full fallback
             return
-        self._sla = sla
+        # full inverse ONCE: per-candidate A^-1 E_R becomes a column slice
+        # instead of an O(n^2 r) lu_solve (round 5: the solve + the
+        # live-set-change fallbacks made Euler counts the DOMINANT stage
+        # cost - 170s vs 82s likelihood at n4 k=47)
+        self.inv = sla.lu_solve(lu, np.eye(self.n))
         self.ok = True
 
     # -- helpers --------------------------------------------------------------
 
-    def _live_nodes(self, cn) -> np.ndarray:
+    def _live_mask(self, cn) -> np.ndarray:
         pos = cn > 0
-        return np.unique(np.concatenate([self.src[pos], self.dst[pos]]))
+        m = np.zeros(self.n, dtype=bool)
+        m[self.src[pos]] = True
+        m[self.dst[pos]] = True
+        return m
 
-    def _scc_firsts(self, cn, live) -> Optional[np.ndarray]:
-        """Minimal live-rank node of each SCC of the positive subgraph, or
-        None when the SCC structure violates the block assumption (a
-        positive edge between two SCCs — a flow-inconsistent candidate)."""
+    def _scc_firsts(self, cn) -> Optional[np.ndarray]:
+        """Minimal node id of each LIVE SCC of the positive subgraph, or
+        None when a positive edge crosses two SCCs (a flow-inconsistent
+        candidate; the block-determinant form would be wrong)."""
         import scipy.sparse as sp
         from scipy.sparse.csgraph import connected_components
 
-        rank = np.full(int(live.max()) + 1, -1, dtype=np.int64)
-        rank[live] = np.arange(live.size)
         pos = cn > 0
-        s, t = rank[self.src[pos]], rank[self.dst[pos]]
-        n = live.size
+        s, t = self.src[pos], self.dst[pos]
         adj = sp.csr_matrix(
-            (np.ones(len(s)), (s, t)), shape=(n, n)
+            (np.ones(len(s)), (s, t)), shape=(self.n, self.n)
         )
         n_comp, labels = connected_components(
             adj, directed=True, connection="strong"
         )
-        # block check: every positive edge must stay within one SCC
         if np.any(labels[s] != labels[t]):
             return None
-        firsts = np.full(n_comp, n, dtype=np.int64)
-        np.minimum.at(firsts, labels, np.arange(n))
-        return np.sort(firsts)
+        live_lab = np.zeros(n_comp, dtype=bool)
+        live_lab[labels[s]] = True
+        live_lab[labels[t]] = True
+        firsts = np.full(n_comp, self.n, dtype=np.int64)
+        np.minimum.at(firsts, labels, np.arange(self.n))
+        return np.sort(firsts[live_lab])
 
-    def _matrix(self, cn, firsts) -> np.ndarray:
-        n = self.nodes.size
+    def _matrix(self, cn, firsts, live) -> np.ndarray:
+        """Copy-weighted Laplacian over ALL nodes, with identity rows for
+        dead nodes (their block contributes det = 1, so the determinant
+        equals the live submatrix's - no live-set-dependent shape)."""
+        n = self.n
         m = np.zeros((n, n), dtype=np.float64)
         pos = cn > 0
-        s = self.rank[self.src[pos]]
-        t = self.rank[self.dst[pos]]
+        s, t = self.src[pos], self.dst[pos]
         c = cn[pos].astype(np.float64)
         np.add.at(m, (s, s), c)  # out-degree on the diagonal
         np.subtract.at(m, (s, t), c)
         m[firsts, firsts] += 1.0
+        dead = np.flatnonzero(~live)
+        m[dead, dead] += 1.0
         return m
 
     def _scalar_terms(self, cn) -> float:
         from scipy.special import gammaln
 
         pos = cn > 0
-        out_deg = np.zeros(self.nodes.size, dtype=np.int64)
-        np.add.at(out_deg, self.rank[self.src[pos]], cn[pos])
+        out_deg = np.zeros(self.n, dtype=np.int64)
+        np.add.at(out_deg, self.src[pos], cn[pos])
         tot = float(np.sum(gammaln(out_deg[out_deg > 0])))  # log (d-1)!
         tot -= float(np.sum(gammaln(cn[pos] + 1.0)))  # -log c!
         return tot
@@ -271,21 +281,20 @@ class EulerCache:
         )
         if not self.ok:
             return fallback()
-        live = self._live_nodes(cn)
-        if live.size != self.nodes.size or not np.array_equal(live, self.nodes):
-            return fallback()
-        firsts = self._scc_firsts(cn, live)
+        firsts = self._scc_firsts(cn)
         if firsts is None:
             return fallback()
         if self.strict and firsts.size > 1:
             # reference semantics (multi_dbg.rs:836): several SCCs -> no
             # Eulerian circuit
             return NEG_INF
+        live = self._live_mask(cn)
 
-        # delta entries (rows confined to sources of changed edges + tweak
-        # positions)
+        # delta entries: rows confined to sources of changed edges, tweak
+        # positions, and nodes whose liveness flips (identity row added or
+        # removed) - ALL row-confined, so the determinant lemma applies
+        # even when the candidate resurrects or kills nodes
         changed = np.nonzero(cn != self.base)[0]
-        n = self.nodes.size
         rows = set()
         entries = {}
 
@@ -296,13 +305,17 @@ class EulerCache:
 
         for e in changed:
             d = float(cn[e] - self.base[e])
-            i, j = int(self.rank[self.src[e]]), int(self.rank[self.dst[e]])
+            i, j = int(self.src[e]), int(self.dst[e])
             add(i, i, d)
             add(i, j, -d)
         for f in np.setdiff1d(firsts, self.base_firsts):
             add(int(f), int(f), 1.0)
         for f in np.setdiff1d(self.base_firsts, firsts):
             add(int(f), int(f), -1.0)
+        for v in np.flatnonzero(live & ~self.base_live):
+            add(int(v), int(v), -1.0)  # was identity, now real
+        for v in np.flatnonzero(self.base_live & ~live):
+            add(int(v), int(v), 1.0)  # now dead: make it an identity row
 
         r = len(rows)
         if r == 0:
@@ -312,12 +325,10 @@ class EulerCache:
         else:
             rlist = sorted(rows)
             ridx = {i: a for a, i in enumerate(rlist)}
-            w = np.zeros((r, n), dtype=np.float64)
+            w = np.zeros((r, self.n), dtype=np.float64)
             for (i, j), v in entries.items():
                 w[ridx[i], j] += v
-            er = np.zeros((n, r), dtype=np.float64)
-            er[rlist, np.arange(r)] = 1.0
-            x = self._sla.lu_solve(self.lu, er)  # A^-1 E_R
+            x = self.inv[:, rlist]  # A^-1 E_R (column slice of the inverse)
             s_small = np.eye(r) + w @ x
             sgn, ld = np.linalg.slogdet(s_small)
             if ld == NEG_INF or sgn != 1.0:
