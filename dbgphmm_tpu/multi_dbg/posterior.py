@@ -1098,10 +1098,22 @@ def infer_posterior_by_extension(
             break
 
         t0 = time.time()
+        n_true_before = (
+            sum(1 for p in paths if p is not None) if paths is not None else 0
+        )
         dbg, paths, maps2 = purge_and_extend_with_posterior(
             dbg, posterior, k_max, p0, paths,
             mappings if use_hint_mappings else None,
         )
+        if paths is not None:
+            n_true_after = sum(1 for p in paths if p is not None)
+            if n_true_after < n_true_before:
+                # make truth loss observable AT the stage it happens
+                # (VERDICT r4 item 8: a later restart otherwise blames the
+                # draft and the INSPECT truth columns silently vanish)
+                print(f"[infer] TRUTH LOST: purge at k={dbg.k} removed "
+                      f"edges of {n_true_before - n_true_after} true "
+                      f"haplotype path(s) ({n_true_after} still tracked)")
         log(f"extended to k={dbg.k} in {time.time()-t0:.1f}s")
         t0 = time.time()
         hint_m = None
