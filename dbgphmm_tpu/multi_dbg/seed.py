@@ -140,7 +140,11 @@ CHAIN_DECAY = 0.8  # per-position decay of the accumulated mismatch cost
 CHAIN_CMAX = 3.0  # prune a chain whose decayed mismatch cost exceeds this
 CHAIN_STAY = 1.5  # stay-in-place (read insertion) cost; > mismatch cost so
 # transient I-shadow chains die in 2-3 steps instead of bloating width
-PASS_WIDTH = 32  # per-pass lowest-cost retention (union cap is WIDTH_CAP)
+PASS_WIDTH = 32  # per-pass lowest-cost retention
+UNION_WIDTH = 32  # final per-position cap (lowest combined cost wins):
+# bounds the refine kernel's O(A^2) step and keeps the packed scorer at
+# A=32 lane packing; true-path candidates ride at near-zero cost and are
+# never the ones trimmed
 CHAIN_HIT_COST = 0.0  # exact 32-suffix matches (re-)enter at zero cost
 
 
@@ -164,7 +168,7 @@ def _combine(ids_list, costs_list, cmax: float, width: int):
 
 
 def _scored_pass(idx: SeedIndex, rb: np.ndarray, hits: dict,
-                 forward: bool) -> List[np.ndarray]:
+                 forward: bool):
     """One directional pass of the seed-anchored scored chain DP.
 
     State: a small set of candidate edges with a decayed mismatch cost.
@@ -211,7 +215,7 @@ def _scored_pass(idx: SeedIndex, rb: np.ndarray, hits: dict,
             S, C = _combine(ids_list, costs_list, CHAIN_CMAX, PASS_WIDTH)
         else:
             S, C = S[:0], C[:0]
-        out[i] = S
+        out[i] = (S, C)
     return out
 
 
@@ -232,11 +236,12 @@ def seed_read(idx: SeedIndex, read: bytes) -> List[np.ndarray]:
     fwd = _scored_pass(idx, rb, hits, forward=True)
     bwd = _scored_pass(idx, rb, hits, forward=False)
     out = []
-    for f, b in zip(fwd, bwd):
-        if f.size and b.size:
-            out.append(np.unique(np.concatenate([f, b])))
+    for (fs, fc), (bs, bc) in zip(fwd, bwd):
+        if fs.size and bs.size:
+            u, _c = _combine([fs, bs], [fc, bc], np.inf, UNION_WIDTH)
+            out.append(u)
         else:
-            out.append(f if f.size else b)
+            out.append((fs if fs.size else bs)[:UNION_WIDTH])
 
     # backfill remaining empty rows by plain graph walks from their
     # neighbors (keeping the previous set for insertions).  An empty row
