@@ -95,15 +95,12 @@ run_dbgphmm() {  # ref: sim.sh:152-163
     else
       ARGS+=( -d "$KEY/data.dbg" )
     fi
-    # The packed-kernel fleet fault was fixed in round 5 (single-vreg
-    # gathers + VMEM back-off), so most restarts should retry the packed
-    # kernel; pin the chunked XLA scorer only on every third attempt as a
-    # last-resort escape hatch for an unknown persistent Pallas fault.
-    # Scope the pin to this invocation only — exporting it would leak into
-    # every later config's attempt 0 in a run_all sweep (ADVICE r3).
-    local PIN=()
-    [ $((attempt % 3)) -eq 2 ] && PIN=( DBGPHMM_PALLAS=0 )
-    env "${PIN[@]}" $PY -m dbgphmm_tpu "${ARGS[@]}" 2>&1 | tee -a "$DIR/log"
+    # No scorer pinning: the round-5 fixes (single-vreg gathers, VMEM
+    # back-off, watchdog hard-exit) make the packed kernel self-healing,
+    # and the in-process ladder already degrades to the XLA scorer per
+    # stage when a launch faults.  DBGPHMM_PALLAS=0 remains available as a
+    # manual override.
+    $PY -m dbgphmm_tpu "${ARGS[@]}" 2>&1 | tee -a "$DIR/log"
     local rc=${PIPESTATUS[0]}
     [ "$rc" -eq 0 ] && break
     attempt=$((attempt+1))
