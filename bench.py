@@ -206,8 +206,13 @@ def main():
         import pathlib
 
         root = pathlib.Path(__file__).resolve().parent
-        ds_path = root / "runs/n4b/data.json"
-        dbg_path = root / "runs/n4b/data.dbg"
+        # committed fixture (data/bench = the flagship n4-class dataset's
+        # k=40 draft; runs/ is gitignored and does not survive a wipe)
+        ds_path = root / "data/bench/data.json"
+        dbg_path = root / "data/bench/data.dbg"
+        if not (ds_path.exists() and dbg_path.exists()):
+            ds_path = root / "runs/n4b/data.json"
+            dbg_path = root / "runs/n4b/data.dbg"
         if not (ds_path.exists() and dbg_path.exists()):
             return None
         from dbgphmm_tpu.e2e import Dataset

@@ -18,6 +18,7 @@
 #include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <vector>
@@ -234,7 +235,7 @@ struct Solver {
         return true;
     }
 
-    // returns 0 ok, 1 infeasible
+    // returns 0 ok, 1 infeasible, 2 repair-phase timeout (non-converging)
     int solve() {
         int m = (int)edges.size();
         flow.resize(m);
@@ -253,7 +254,14 @@ struct Solver {
         // round-4 production run stalled >1h here.  Feasibility (phase 2)
         // always runs to completion; a budget-truncated result is feasible
         // and near-optimal, which is all the MSE re-init heuristic needs.
-        const double budget_s = 120.0;
+        // Budget is env-configurable so callers (and tests) control the
+        // determinism/quality trade-off instead of inheriting machine load.
+        double budget_s = 120.0;
+        if (const char* env = std::getenv("DBGPHMM_FLOW_BUDGET_S")) {
+            char* end = nullptr;
+            double v = std::strtod(env, &end);
+            if (end != env && v > 0) budget_s = v;
+        }
         const auto t0 = std::chrono::steady_clock::now();
         auto elapsed = [&]() {
             return std::chrono::duration<double>(
@@ -273,9 +281,10 @@ struct Solver {
             for (int v = 0; v < n; v++)
                 if (excess[v] > 0) surplus = true;
             if (!surplus) break;
-            if (elapsed() > budget_s * 0.5 + 300.0) return 1;  // give up:
-            // repair is not converging (cycle-canceling churn); the caller
-            // retries with a clamped instance
+            if (elapsed() > budget_s * 0.5 + 300.0) return 2;  // give up:
+            // repair is not converging (cycle-canceling churn).  rc=2
+            // (timeout) is distinct from rc=1 (infeasible) so the caller
+            // can degrade (keep previous copy nums) instead of aborting
             if (!push_one_unit(excess)) return 1;  // infeasible
         }
         // 3. safety re-check
@@ -289,7 +298,8 @@ struct Solver {
 
 extern "C" {
 
-// Returns 0 on success (out_flow filled), 1 if infeasible.
+// Returns 0 on success (out_flow filled), 1 if infeasible, 2 on
+// repair-phase timeout (budget from DBGPHMM_FLOW_BUDGET_S, default 120 s).
 int dbg_min_cost_flow_convex(
     int32_t n_nodes, int32_t n_edges,
     const int32_t* src, const int32_t* dst,

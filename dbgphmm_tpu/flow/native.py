@@ -22,6 +22,12 @@ from .mincost import FlowEdge
 _LIB = None
 _LIB_TRIED = False
 
+#: return code of the most recent native solve: 0 ok, 1 infeasible,
+#: 2 repair-phase timeout (budget via DBGPHMM_FLOW_BUDGET_S).  Lets callers
+#: distinguish "no feasible flow exists" from "solver gave up" and degrade
+#: (e.g. keep previous copy nums) instead of aborting.
+LAST_RC = 0
+
 _CPP = Path(__file__).resolve().parent.parent.parent / "cpp" / "flow.cpp"
 _SO = Path(__file__).resolve().parent / "_libdbgflow.so"
 
@@ -104,6 +110,8 @@ def min_cost_flow_convex_native(net: DiGraph) -> Optional[List[int]]:
         net.n_nodes(), m, src, dst, demand, capacity, cost_type, coeff,
         freqs_flat, offsets, out,
     )
+    global LAST_RC
+    LAST_RC = rc
     if rc != 0:
         return None
     return out.tolist()

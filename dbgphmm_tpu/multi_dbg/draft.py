@@ -190,8 +190,14 @@ def min_squared_error_copy_nums_from_freqs(
     freqs: Sequence[float],
     coverage: float,
     n_haplotypes: Optional[int] = None,
+    fallback_copy_nums: Optional[Sequence[int]] = None,
 ) -> List[int]:
-    """(ref: draft.rs:280-316)"""
+    """(ref: draft.rs:280-316)
+
+    ``fallback_copy_nums``: returned when the solver times out (native rc=2)
+    even on the clamped retry — the MSE re-init is a heuristic restart, so
+    keeping the previous assignment beats aborting the whole inference.
+    """
     tc = "fixed" if n_haplotypes is not None else "free"
     net = mse_network_from_freqs(
         dbg, freqs, coverage, tc, n_haplotypes, False, "V4"
@@ -211,6 +217,13 @@ def min_squared_error_copy_nums_from_freqs(
             dbg, np.minimum(f, cap), coverage, tc, n_haplotypes, False, "V4"
         )
         copy_nums = flow_solve(net)
+    if copy_nums is None and fallback_copy_nums is not None:
+        from ..flow import native as flow_native
+
+        why = "timeout" if flow_native.LAST_RC == 2 else "infeasible"
+        print(f"[draft] mse flow solve failed twice ({why}); keeping "
+              f"previous copy nums")
+        return list(fallback_copy_nums)
     assert copy_nums is not None, "mse flow network cannot be solved"
     return copy_nums[: dbg.n_edges_compact()]
 

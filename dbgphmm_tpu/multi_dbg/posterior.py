@@ -1173,7 +1173,9 @@ def infer_posterior_by_extension(
         nh = n_haplotypes if n_haplotypes is not None else 2
         if dbg.terminal_node_compact() is None:
             nh = None
-        cn = min_squared_error_copy_nums_from_freqs(dbg, freqs, coverage, nh)
+        cn = min_squared_error_copy_nums_from_freqs(
+            dbg, freqs, coverage, nh, fallback_copy_nums=dbg.get_copy_nums()
+        )
         dbg.set_copy_nums(cn)
         log(f"copy nums re-initialized from freqs in {time.time()-t0:.1f}s")
 
