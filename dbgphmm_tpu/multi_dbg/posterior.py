@@ -1044,6 +1044,22 @@ def purge_and_extend_with_posterior(
             and posterior.p_edge_x(e, 0) > lp0
         ):
             edges_purge.append(e)
+    if paths is not None and edges_purge:
+        # per-edge forensics BEFORE the purge maps are gone (VERDICT r4
+        # item 8: the final grade must be traceable to the stage and edge
+        # where truth left the graph)
+        true_full = set()
+        for p in paths:
+            if p is not None:
+                true_full.update(int(x) for x in p)
+        for e in edges_purge:
+            full = [int(x) for x in work.edges_in_full(e)]
+            n_true = sum(1 for x in full if x in true_full)
+            if n_true:
+                print(f"[infer] TRUTH-PURGE k={work.k}: compact e{e} "
+                      f"({len(full)} full edges, {n_true} on a true path) "
+                      f"p(0)={np.exp(posterior.p_edge_x(e, 0)):.4f} "
+                      f"copy_max={work.copy_num_of_edge_in_compact(e)}")
     dbg2, paths2, maps2 = work.purge_and_extend(
         edges_purge, k_max, True, paths,
         list(mappings.nodes) if mappings is not None else None,
