@@ -219,36 +219,14 @@ def _scored_pass(idx: SeedIndex, rb: np.ndarray, hits: dict,
     return out
 
 
-def seed_read(idx: SeedIndex, read: bytes) -> List[np.ndarray]:
-    """Per-position candidate edge sets for one read."""
-    rb = np.frombuffer(bytes(read), dtype=np.uint8)
-    L = len(rb)
-    s = idx.s
-    empty = np.empty(0, dtype=np.int64)
-    key_bytes = bytes(read)
-    hits = {}
-    for i in range(s - 1, L):
-        h = idx.lookup(key_bytes[i - s + 1 : i + 1])
-        if h is not None:
-            hits[i] = h
-    if not hits:
-        return [empty] * L
-    fwd = _scored_pass(idx, rb, hits, forward=True)
-    bwd = _scored_pass(idx, rb, hits, forward=False)
-    out = []
-    for (fs, fc), (bs, bc) in zip(fwd, bwd):
-        if fs.size and bs.size:
-            u, _c = _combine([fs, bs], [fc, bc], np.inf, UNION_WIDTH)
-            out.append(u)
-        else:
-            out.append((fs if fs.size else bs)[:UNION_WIDTH])
-
-    # backfill remaining empty rows by plain graph walks from their
-    # neighbors (keeping the previous set for insertions).  An empty row
-    # forces a position-priced begin re-entry, and an empty LAST row makes
-    # the read score exactly -inf (the end state reads only M/I/D —
-    # ref forward.rs:554), which poisons every candidate's total into -inf
-    # (round-5: reads 52/61, late-read errors killed both passes' tails).
+def _backfill(idx: SeedIndex, out: List[np.ndarray]) -> List[np.ndarray]:
+    """Backfill remaining empty rows by plain graph walks from their
+    neighbors (keeping the previous set for insertions).  An empty row
+    forces a position-priced begin re-entry, and an empty LAST row makes
+    the read score exactly -inf (the end state reads only M/I/D —
+    ref forward.rs:554), which poisons every candidate's total into -inf
+    (round-5: reads 52/61, late-read errors killed both passes' tails)."""
+    L = len(out)
     for i in range(1, L):
         if out[i].size == 0 and out[i - 1].size:
             out[i] = np.unique(np.concatenate(
@@ -262,6 +240,119 @@ def seed_read(idx: SeedIndex, read: bytes) -> List[np.ndarray]:
     return out
 
 
+def _read_hits(idx: SeedIndex, read: bytes):
+    """Exact suffix-key hits per position: {pos: edge-id array}."""
+    key_bytes = bytes(read)
+    L = len(key_bytes)
+    hits = {}
+    for i in range(idx.s - 1, L):
+        h = idx.lookup(key_bytes[i - idx.s + 1 : i + 1])
+        if h is not None:
+            hits[i] = h
+    return hits
+
+
+def seed_read(idx: SeedIndex, read: bytes) -> List[np.ndarray]:
+    """Per-position candidate edge sets for one read (pure-Python path;
+    production uses :func:`seed_read_native` when the C++ kernel loads)."""
+    rb = np.frombuffer(bytes(read), dtype=np.uint8)
+    L = len(rb)
+    empty = np.empty(0, dtype=np.int64)
+    hits = _read_hits(idx, read)
+    if not hits:
+        return [empty] * L
+    fwd = _scored_pass(idx, rb, hits, forward=True)
+    bwd = _scored_pass(idx, rb, hits, forward=False)
+    out = []
+    for (fs, fc), (bs, bc) in zip(fwd, bwd):
+        if fs.size and bs.size:
+            u, _c = _combine([fs, bs], [fc, bc], np.inf, UNION_WIDTH)
+            out.append(u)
+        else:
+            out.append((fs if fs.size else bs)[:UNION_WIDTH])
+    return _backfill(idx, out)
+
+
+# -- native kernel (cpp/seedchain.cpp) ----------------------------------------
+
+_SEED_LIB = None
+_SEED_LIB_TRIED = False
+
+
+def _seed_lib():
+    """ctypes handle to the native chain-DP kernel; auto-built with g++ on
+    first use (same pattern as flow/native.py).  DBGPHMM_NATIVE_SEED=0
+    forces the pure-Python path."""
+    global _SEED_LIB, _SEED_LIB_TRIED
+    if _SEED_LIB_TRIED:
+        return _SEED_LIB
+    _SEED_LIB_TRIED = True
+    import os
+
+    if os.environ.get("DBGPHMM_NATIVE_SEED", "1") == "0":
+        return None
+    import ctypes
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    cpp = Path(__file__).resolve().parent.parent.parent / "cpp" / "seedchain.cpp"
+    so = Path(__file__).resolve().parent / "_libdbgseed.so"
+    try:
+        if not so.exists() or so.stat().st_mtime < cpp.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", str(cpp), "-o", str(so)],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(str(so))
+        lib.dbg_seed_chain_union.restype = ctypes.c_int
+        lib.dbg_seed_chain_union.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.uint8),
+            ctypes.c_int32, np.ctypeslib.ndpointer(np.uint8),
+            np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int32, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64),
+        ]
+        _SEED_LIB = lib
+    except Exception as e:  # pragma: no cover - toolchain issues
+        print(f"[seed.native] build/load failed, using Python chain DP: {e}",
+              file=sys.stderr)
+        _SEED_LIB = None
+    return _SEED_LIB
+
+
+def seed_read_native(idx: SeedIndex, read: bytes) -> Optional[List[np.ndarray]]:
+    """Native two-pass chain DP + union; None if the kernel is unavailable."""
+    lib = _seed_lib()
+    if lib is None:
+        return None
+    rb = np.frombuffer(bytes(read), dtype=np.uint8)
+    L = len(rb)
+    empty = np.empty(0, dtype=np.int64)
+    hits = _read_hits(idx, read)
+    if not hits:
+        return [empty] * L
+    hit_off = np.zeros(L + 1, dtype=np.int64)
+    for i, h in hits.items():
+        hit_off[i + 1] = h.size
+    np.cumsum(hit_off, out=hit_off)
+    hit_ids = np.concatenate([hits[i] for i in sorted(hits)]).astype(np.int64)
+    emis = np.ascontiguousarray(idx.keys[:, -1])
+    succ = np.ascontiguousarray(idx._succ_pad)
+    pred = np.ascontiguousarray(idx._pred_pad)
+    out_ids = np.empty((L, UNION_WIDTH), dtype=np.int64)
+    lib.dbg_seed_chain_union(
+        idx.n_edges, succ, pred, emis, L, rb, hit_ids, hit_off,
+        CHAIN_DECAY, CHAIN_STAY, CHAIN_HIT_COST, CHAIN_CMAX,
+        PASS_WIDTH, UNION_WIDTH, out_ids,
+    )
+    out = [row[row >= 0] for row in out_ids]
+    return _backfill(idx, out)
+
+
 def seed_mappings_arrays(dbg, reads, s: int = SEED_S,
                          verbose: bool = False) -> List[np.ndarray]:
     """Seeded candidate arrays per read ([L, W] int32, -1 pad) — the hint
@@ -273,9 +364,10 @@ def seed_mappings_arrays(dbg, reads, s: int = SEED_S,
     arrs = []
     n_hit = n_pos = 0
     widths = []
+    use_native = _seed_lib() is not None
     for r in reads:
         rb = bytes(r)
-        sets = seed_read(idx, rb)
+        sets = seed_read_native(idx, rb) if use_native else seed_read(idx, rb)
         W = max(1, max((len(x) for x in sets), default=1))
         a = np.full((len(rb), W), -1, dtype=np.int32)
         for i, x in enumerate(sets):
