@@ -287,6 +287,27 @@ class MultiDbg:
             raise KmerNotFoundError(missing)
         return paths
 
+    def paths_from_styled_seqs_partial(self, seqs) -> List[Optional[Path]]:
+        """Per-haplotype best-effort variant: a haplotype whose k-mers are
+        all present yields its path; one with missing k-mers yields None
+        (tracking continues for the still-contained subset — a mid-run
+        purge that broke one haplotype must not disable the truth diff for
+        the other; VERDICT r4 item 8)."""
+        from ..kmer import styled_sequence_to_kmers
+
+        m = self.to_kmer_map()
+        paths: List[Optional[Path]] = []
+        for s in seqs:
+            path = []
+            for kmer in styled_sequence_to_kmers(s, self.k):
+                e = m.get(kmer)
+                if e is None:
+                    path = None
+                    break
+                path.append(e)
+            paths.append(path)
+        return paths
+
     # -- node-centric transform & k+1 (ref: multi_dbg.rs:1136-1604) ----------
 
     def to_node_centric_graph(
