@@ -1004,7 +1004,7 @@ def _make_kernel_log_packed(TL: int, D: int, n_max_gaps: int, L: int,
 @functools.partial(
     jax.jit,
     static_argnames=("TL", "interpret", "n_max_gaps", "P", "CL",
-                     "renorm_every"),
+                     "renorm_every", "vmem_div"),
 )
 def pallas_mapped_scores_packed(
     eff: jnp.ndarray,  # [G, CL*P, NC] f32 (row per candidate)
@@ -1024,6 +1024,7 @@ def pallas_mapped_scores_packed(
     CL: int = 8,
     interpret: bool = False,
     renorm_every: int = 1,
+    vmem_div: int = 1,
 ):
     """Lane-packed candidate-blocked log-space scorer.  Returns [G*CL*P, B]
     per-read log likelihoods (candidate c = g*P*CL + cl*P + p).
@@ -1053,7 +1054,7 @@ def pallas_mapped_scores_packed(
     # stack-temporary term (~48 [*, PA] vreg-rows of step temporaries —
     # round-5: A=64 seeded widths OOMed at B_blk the old model allowed):
     per_read = (2 * 3 * (1 + D) * TL * A + 7 * CL * PA + 48 * PA) * 4
-    B_max = max(8, int(10.5e6 / (1.44 * per_read)) // 8 * 8)
+    B_max = max(8, int(10.5e6 / (1.44 * per_read * vmem_div)) // 8 * 8)
     if B <= B_max:
         RB, B_blk = 1, B
     else:
@@ -1275,7 +1276,7 @@ def pallas_mapped_scores_sharded(
 def pallas_mapped_scores_packed_sharded(
     mesh, eff, linv, lens, codes, emis, numce, selfp, prevp, curp,
     dence, lt_lin, n_max_gaps: int, TL: int, P: int, CL: int,
-    interpret: bool, renorm_every: int = 1,
+    interpret: bool, renorm_every: int = 1, vmem_div: int = 1,
 ):
     """shard_map wrapper for the packed kernel: candidate GROUPS sharded
     along "cand", reads along "reads" (same layout contract as
@@ -1288,6 +1289,7 @@ def pallas_mapped_scores_packed_sharded(
     fn = _ft.partial(
         pallas_mapped_scores_packed, n_max_gaps=n_max_gaps, TL=TL,
         P=P, CL=CL, interpret=interpret, renorm_every=renorm_every,
+        vmem_div=vmem_div,
     )
     in_specs = (
         Pt("cand", None, None),            # eff [G, CL*P, NC]
@@ -1332,6 +1334,7 @@ class PallasMappedScorer:
         self.TL = TL
         self.space = space
         self.cl = cl
+        self.vmem_div = 1  # read-block budget divisor (OOM back-off stage 2)
         self.renorm_every = renorm_every
         self.mesh = mesh
         B, L = codes.shape
@@ -1610,6 +1613,7 @@ class PallasMappedScorer:
                             n_max_gaps=self.n_max_gaps, TL=self.TL,
                             P=P_, CL=CL, interpret=self.interpret,
                             renorm_every=self.renorm_every,
+                            vmem_div=self.vmem_div,
                         )
                     )
                 return np.asarray(
@@ -1618,16 +1622,42 @@ class PallasMappedScorer:
                         self.ltv, n_max_gaps=self.n_max_gaps, TL=self.TL,
                         P=P_, CL=CL, interpret=self.interpret,
                         renorm_every=self.renorm_every,
+                        vmem_div=self.vmem_div,
                     )
                 )
             except Exception as e:
                 msg = str(e)
-                if ("Ran out of memory" not in msg and "vmem" not in msg
-                        and "VMEM" not in msg) or self.cl <= 1:
+                # VMEM OOMs surface either verbatim or wrapped in an opaque
+                # compile-helper HTTP 500 (round-5 KIR: the CL=1 OOM came
+                # back as 'tpu_compile_helper subprocess exit code' with the
+                # OOM only in the service log) — treat both as
+                # shrink-and-retry; anything else propagates
+                oomish = (
+                    "Ran out of memory" in msg or "vmem" in msg
+                    or "VMEM" in msg
+                    or ("remote_compile" in msg and "HTTP 500" in msg)
+                )
+                if not oomish:
                     raise
-                self.cl = max(1, self.cl // 2)
-                print(f"[pallas] packed kernel VMEM OOM at CL={CL}; "
-                      f"retrying with CL={self.cl}")
+                # two-stage back-off: candidate-block depth first (cheap),
+                # then the read-block budget (vmem_div shrinks B_blk —
+                # round-5 KIR: A=64-wide streams OOM even at CL=1 because
+                # the per-read scratch model undercounts at wide A)
+                if self.cl > 1:
+                    self.cl = max(1, self.cl // 2)
+                    print(f"[pallas] packed kernel VMEM OOM at CL={CL}; "
+                          f"retrying with CL={self.cl}")
+                elif self.vmem_div < 8:
+                    self.vmem_div *= 2
+                    print(f"[pallas] packed kernel VMEM OOM at CL=1; "
+                          f"retrying with vmem_div={self.vmem_div}")
+                else:
+                    # ladder exhausted: latch off so the rest of the stage
+                    # goes straight to the XLA scorer instead of re-paying
+                    # a doomed ~25s compile per batch (the scorer is
+                    # rebuilt per stage, so this re-arms at the next k)
+                    self.disabled = True
+                    raise
 
     def scores(self, candidates) -> np.ndarray:
         return self.scores_detailed(candidates)[0]
