@@ -707,6 +707,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    # SIGUSR1 -> all-thread stack dump on stderr: lets the supervisor (or a
+    # human) diagnose a host-side stall non-destructively before restarting
+    # (round 5: a k=69 stage hung at ~50% CPU with no log progress and no
+    # way to see where)
+    try:
+        import faulthandler
+        import signal as _signal
+
+        faulthandler.register(_signal.SIGUSR1, all_threads=True)
+    except Exception:
+        pass
     args = build_parser().parse_args(argv)
     if getattr(args, "dist", None):
         from .parallel.multihost import initialize, parse_dist_arg

@@ -100,8 +100,28 @@ run_dbgphmm() {  # ref: sim.sh:152-163
     # and the in-process ladder already degrades to the XLA scorer per
     # stage when a launch faults.  DBGPHMM_PALLAS=0 remains available as a
     # manual override.
-    $PY -m dbgphmm_tpu "${ARGS[@]}" 2>&1 | tee -a "$DIR/log"
-    local rc=${PIPESTATUS[0]}
+    # Stall watchdog (round 5): device calls are SIGALRM-bounded inside the
+    # process, but a HOST-side wedge (seen once at k=69: ~50% CPU, no log
+    # line for 20+ min) stalls the run silently.  Run the worker in the
+    # background, watch the log for progress, and on DBGPHMM_STALL_S of
+    # silence dump its stacks (SIGUSR1 -> faulthandler) and restart it.
+    $PY -m dbgphmm_tpu "${ARGS[@]}" >> "$DIR/log" 2>&1 &
+    local wpid=$!
+    local stall=${DBGPHMM_STALL_S:-1200}
+    while kill -0 "$wpid" 2>/dev/null; do
+      sleep 30
+      local age=$(( $(date +%s) - $(stat -c %Y "$DIR/log" 2>/dev/null || date +%s) ))
+      if [ "$age" -gt "$stall" ]; then
+        echo "# run_dbgphmm: no log progress for ${age}s; stack-dumping + restarting pid $wpid" >> "$DIR/log"
+        kill -USR1 "$wpid" 2>/dev/null
+        sleep 5
+        kill "$wpid" 2>/dev/null
+        sleep 10
+        kill -9 "$wpid" 2>/dev/null
+      fi
+    done
+    wait "$wpid"
+    local rc=$?
     [ "$rc" -eq 0 ] && break
     attempt=$((attempt+1))
     [ "$attempt" -gt 12 ] && { echo "# run_dbgphmm: giving up after $attempt attempts" | tee -a "$DIR/log"; break; }
