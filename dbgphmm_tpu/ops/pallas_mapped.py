@@ -1334,7 +1334,7 @@ class PallasMappedScorer:
         self.TL = TL
         self.space = space
         self.cl = cl
-        self.vmem_div = 1  # read-block budget divisor (OOM back-off stage 2)
+        self._ladder = {}  # per-A OOM back-off state: {A: {cl, div}}
         self.renorm_every = renorm_every
         self.mesh = mesh
         B, L = codes.shape
@@ -1347,10 +1347,18 @@ class PallasMappedScorer:
             f2c = template.full_to_compact.astype(np.int64)
             keys = np.zeros(B)
             mn0 = positions.map_nodes
+            # width bucket (pow2 of the read's max per-position active-set
+            # size) rides as the PRIMARY sort key so read chunks stay
+            # width-homogeneous: one 64-wide read must not force A=64 (and
+            # the VMEM ladder) on every chunk (round-5 KIR: global A=64
+            # from a handful of error-dense reads cost ~8x throughput)
+            wbuck = np.zeros(B)
             for b in range(B):
                 v = mn0[b][mn0[b] >= 0]
                 keys[b] = np.median(f2c[v]) if v.size else 0
-            order = np.argsort(keys, kind="stable")
+                w = int((mn0[b] >= 0).sum(axis=1).max(initial=1))
+                wbuck[b] = 1 << max(4, (w - 1).bit_length())
+            order = np.lexsort((keys, wbuck))
             codes = np.ascontiguousarray(codes[order])
             lens = np.asarray(lens)[order]
             positions = MappedPositionsLike(
@@ -1401,12 +1409,17 @@ class PallasMappedScorer:
             chunks.append(build_streams(
                 template, pos_c, codes[c0:c1], lens[c0:c1], None, b_pad=b_pad
             ))
-        # unify the degree trim across chunks (one compile shape): pad the
-        # shallower chunks' degree columns back up with empty columns
+        # unify the DEGREE trim across chunks (one compile shape per A
+        # bucket): pad the shallower chunks' degree columns back up with
+        # empty columns.  A is NOT unified across chunks (round 5): with
+        # width-homogeneous read chunks each chunk compiles at its own
+        # pow2 A, so only the chunks that contain wide (error-dense) reads
+        # pay the A=64 kernel; compile count is bounded by the number of
+        # distinct A buckets (<= 3 in practice).
         d_star = max(s.prevp.shape[1] for s in chunks)
-        a_star = max(s.emis.shape[2] for s in chunks)
         for ci, s in enumerate(chunks):
             d_c, a_c = s.prevp.shape[1], s.emis.shape[2]
+            a_star = max(16, 1 << (a_c - 1).bit_length())
             if d_c == d_star and a_c == a_star:
                 continue
             SENT = s.nc_pad - 1
@@ -1459,7 +1472,8 @@ class PallasMappedScorer:
         self.streams = chunks[0]
         # fixed candidate sub-batch (single compiled grid size; worst-case
         # padding bounded by one sub-batch instead of next-power-of-2)
-        cg = max(1, 128 // chunks[0].emis.shape[2]) * cl
+        a_max = max(s.emis.shape[2] for s in chunks)
+        cg = max(1, 128 // a_max) * cl
         self.CAND_SUB = cg * -(-32 // cg)
         self.ltv = lin_params_from_phmm_params(params)
         self.n_max_gaps = params.n_max_gaps
@@ -1581,8 +1595,11 @@ class PallasMappedScorer:
         path for the whole stage."""
         A = streams.emis.shape[2]
         P_ = max(1, 128 // A)
+        # ladder state per kernel shape: an A=64 chunk backing off must not
+        # throttle the A=32 chunks (and vice versa)
+        lad = self._ladder.setdefault(A, {"cl": self.cl, "div": 1})
         while True:
-            CL = self.cl
+            CL = lad["cl"]
             eff, linv, _cp = pack_eff_tables(streams, cands, P_, CL, A)
             try:
                 if self.mesh is not None:
@@ -1613,7 +1630,7 @@ class PallasMappedScorer:
                             n_max_gaps=self.n_max_gaps, TL=self.TL,
                             P=P_, CL=CL, interpret=self.interpret,
                             renorm_every=self.renorm_every,
-                            vmem_div=self.vmem_div,
+                            vmem_div=lad["div"],
                         )
                     )
                 return np.asarray(
@@ -1622,7 +1639,7 @@ class PallasMappedScorer:
                         self.ltv, n_max_gaps=self.n_max_gaps, TL=self.TL,
                         P=P_, CL=CL, interpret=self.interpret,
                         renorm_every=self.renorm_every,
-                        vmem_div=self.vmem_div,
+                        vmem_div=lad["div"],
                     )
                 )
             except Exception as e:
@@ -1643,14 +1660,14 @@ class PallasMappedScorer:
                 # then the read-block budget (vmem_div shrinks B_blk —
                 # round-5 KIR: A=64-wide streams OOM even at CL=1 because
                 # the per-read scratch model undercounts at wide A)
-                if self.cl > 1:
-                    self.cl = max(1, self.cl // 2)
-                    print(f"[pallas] packed kernel VMEM OOM at CL={CL}; "
-                          f"retrying with CL={self.cl}")
-                elif self.vmem_div < 8:
-                    self.vmem_div *= 2
-                    print(f"[pallas] packed kernel VMEM OOM at CL=1; "
-                          f"retrying with vmem_div={self.vmem_div}")
+                if lad["cl"] > 1:
+                    lad["cl"] = max(1, lad["cl"] // 2)
+                    print(f"[pallas] packed kernel (A={A}) VMEM OOM at "
+                          f"CL={CL}; retrying with CL={lad['cl']}")
+                elif lad["div"] < 8:
+                    lad["div"] *= 2
+                    print(f"[pallas] packed kernel (A={A}) VMEM OOM at "
+                          f"CL=1; retrying with vmem_div={lad['div']}")
                 else:
                     # ladder exhausted: latch off so the rest of the stage
                     # goes straight to the XLA scorer instead of re-paying
